@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full compute, no driver
+collect). ``python bench.py --scaling`` additionally runs the transcript
+pipeline at two parallelism levels and reports scaling efficiency (the
+BASELINE.md N→4N protocol); see BENCH/run_scaling.py for the committed runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "rollup_1m",
+    "rollup_1h_cascade",
+    "count_distinct_1m",
+    "sliding_window_sum",
+    "asof_next_type",
+    "transition_counts",
+    "interval_mask_counts",
+    "dedup_exact",
+    "quality_score",
+    "knn_cosine",
+    "treatment_pipeline",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_transcript_pipeline(spark, n_convs: int = 4000, seed: int = 42):
+    """Full engine pipeline on synthetic transcripts: synth → metrics →
+    gap-fill → treatment → 1m/1h/1d cascade. Returns turns processed."""
+    from pneuma_treatment_spark.operators.gapfill import gap_fill
+    from pneuma_treatment_spark.operators.rollup import rollup_cascade, with_turn_metrics
+    from pneuma_treatment_spark.operators.treatment import TreatmentConfig, treat_transcripts
+    from pneuma_treatment_spark.synth import generate_transcripts
+
+    raw = generate_transcripts(spark, n_convs, seed=seed, mega_turns=20000)
+    raw = with_turn_metrics(raw)
+    n_turns = raw.count()
+    filled = gap_fill(raw, lerp_cols=("token_count",), lerp_ts_cols=("ts",))
+    treated = treat_transcripts(filled, TreatmentConfig(), chunked=True)
+    _force(treated)
+    tiers = rollup_cascade(filled)
+    for t in tiers.values():
+        _force(t)
+    return n_turns
+
+
+def main() -> None:
+    from pneuma_treatment_spark import queries as q
+    from pneuma_treatment_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.Q[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    n_turns = run_transcript_pipeline(spark)
+    pipe_sec = time.perf_counter() - t0
+    timings["transcript_pipeline"] = round(pipe_sec, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "transcript_turns": n_turns,
+                "transcript_turns_per_sec": round(n_turns / pipe_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

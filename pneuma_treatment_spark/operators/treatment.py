@@ -1,0 +1,188 @@
+"""Per-series treatment: SG smooth → rolling-median reconstruction →
+tolerance anomaly mask → run merge → replace → Gaussian smooth → derivative.
+
+Faithful re-expression of the reference's per-vehicle loop
+(``/root/reference/src/processor.py:314-465``) over transcript token-count
+series, with the one documented substitution (SURVEY.md §7.1): the
+non-deterministic per-vehicle XGBoost reconstruction (``processor.py:112-133``)
+is replaced by a centered rolling median, keeping the tolerance-mask,
+run-merge and replacement logic (``processor.py:366-399``) semantically
+identical.
+
+Execution shape (vs the reference's sequential ``for v_id in ids`` loop):
+
+* **Stage A** (bounded-support kernels: SG window 25, median window 5) —
+  Arrow-batched ``applyInPandas`` per conv_id, or **chunked** per
+  (conv_id, chunk) with halo rows for mega-conversations whose full series
+  must not land on one executor. Halo ≥ kernel radius ⇒ chunked == unchunked
+  bit-for-bit.
+* **Stage B** (anomaly run merge, ``processor.py:390-399``) — global per
+  conv, but expressible as two window passes in SQL (JVM-side), so it needs
+  no Python and no whole-series materialization.
+* **Stage C** (replace) — a ``when()`` column expression.
+* **Stage D** (Gaussian sigma-12 smooth + gradient, ``processor.py:401-448``
+  incl. the no-anomaly passthrough branch) — second pandas stage, chunkable
+  with halo ≥ the Gaussian truncation radius (49).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pneuma_treatment_spark import kernels as K
+
+
+@dataclass(frozen=True)
+class TreatmentConfig:
+    sg_window: int = 25          # processor.py:324 (window_length=25, polyorder=1)
+    med_window: int = 5          # XGBoost-substitute reconstruction support
+    tol: float = 6.0             # tolerance mask threshold (processor.py:302: 0.1 on accel)
+    merge_gap: int = 10          # merge anomaly runs < 10 apart (processor.py:303)
+    gauss_sigma: float = 12.0    # processor.py:91 (gaussian_filter1d sigma=12)
+    chunk_len: int = 4096        # chunked-mode segment length (mega-conversations)
+
+    @property
+    def halo_a(self) -> int:
+        return max(self.sg_window // 2, self.med_window // 2) + 1
+
+    @property
+    def halo_d(self) -> int:
+        return int(4.0 * self.gauss_sigma + 0.5) + 1
+
+
+def _stage_a_kernel(pdf: pd.DataFrame, cfg: TreatmentConfig) -> pd.DataFrame:
+    pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+    x = K.interpolate_linear_both(pdf["token_count"].to_numpy(dtype=np.float64))
+    pdf["tokens_filled"] = x
+    pdf["sg_tokens"] = K.savgol_poly1(x, cfg.sg_window)
+    med = K.rolling_median(x, cfg.med_window)
+    pdf["med_tokens"] = med
+    pdf["raw_anomaly"] = K.anomaly_mask(x, med, cfg.tol)
+    return pdf
+
+
+def _stage_d_kernel(pdf: pd.DataFrame, cfg: TreatmentConfig) -> pd.DataFrame:
+    pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+    if bool(pdf["conv_has_anomaly"].iloc[0]):
+        # anomalous branch: gaussian-smooth the treated series, derive
+        # (processor.py:401-431: new_speed -> g_ns -> g_na)
+        g_ns = K.gaussian1d(pdf["treated_tokens"].to_numpy(np.float64), cfg.gauss_sigma)
+    else:
+        # passthrough branch (processor.py:433-448): keep the SG series
+        g_ns = pdf["sg_tokens"].to_numpy(np.float64)
+    pdf["g_ns"] = g_ns
+    pdf["g_na"] = K.gradient(g_ns, K.DT)
+    return pdf
+
+
+def _added(schema: T.StructType, fields: list[tuple[str, T.DataType]]) -> T.StructType:
+    out = T.StructType(list(schema.fields))
+    for name, dtype in fields:
+        out = out.add(name, dtype, True)
+    return out
+
+
+def _apply(df: DataFrame, kernel, added_fields, cfg: TreatmentConfig, halo: int, chunked: bool) -> DataFrame:
+    """Run a bounded-support per-series kernel per conv_id, or — in chunked
+    mode — per (conv_id, chunk) with ``halo`` overlap rows, keeping each
+    row's own-chunk output only.
+
+    Chunked mode requires a dense ``turn_idx`` and pre-filled values (run
+    :func:`...gapfill.gap_fill` first so in-kernel interpolation is a no-op);
+    then halo ≥ kernel radius ⇒ identical to whole-series apply, while the
+    max group size is bounded by chunk_len + 2·halo — this is what lets a
+    10^8-turn conversation flow through fixed-memory executors.
+    """
+    if not chunked:
+        out_schema = _added(df.schema, added_fields)
+        return df.groupBy("conv_id").applyInPandas(lambda p: kernel(p, cfg), out_schema)
+
+    L, H = cfg.chunk_len, halo
+    own = F.floor(F.col("turn_idx") / L).cast("long")
+    pos = F.col("turn_idx") % L
+    chunks = F.array_compact(
+        F.array(
+            own,
+            F.when(pos < H, own - 1),          # serve previous chunk's right halo
+            F.when(pos >= L - H, own + 1),     # serve next chunk's left halo
+        )
+    )
+    exploded = df.withColumn("__chunk", F.explode(chunks)).where(F.col("__chunk") >= 0)
+    grouped_schema = _added(exploded.schema, added_fields)
+
+    def kernel_with_core(pdf: pd.DataFrame) -> pd.DataFrame:
+        chunk = int(pdf["__chunk"].iloc[0])
+        res = kernel(pdf.drop(columns="__chunk"), cfg)
+        res["__chunk"] = chunk
+        core = (res["turn_idx"] // L) == chunk
+        return res[core]
+
+    res = exploded.groupBy("conv_id", "__chunk").applyInPandas(
+        kernel_with_core, grouped_schema
+    )
+    return res.drop("__chunk")
+
+
+def treat_transcripts(
+    df: DataFrame, cfg: TreatmentConfig | None = None, chunked: bool = False
+) -> DataFrame:
+    """Full treatment chain. Input: transcripts with ``token_count`` (from
+    ``rollup.with_turn_metrics``) and dense ``turn_idx`` (from ``gap_fill``).
+
+    Adds: tokens_filled, sg_tokens, med_tokens, raw_anomaly, is_anomaly,
+    treated_tokens, conv_has_anomaly, g_ns (smoothed), g_na (derivative).
+    """
+    cfg = cfg or TreatmentConfig()
+
+    # Stage A — bounded-support kernels (Arrow-batched pandas).
+    a_fields = [
+        ("tokens_filled", T.DoubleType()),
+        ("sg_tokens", T.DoubleType()),
+        ("med_tokens", T.DoubleType()),
+        ("raw_anomaly", T.BooleanType()),
+    ]
+    a = _apply(df, _stage_a_kernel, a_fields, cfg, cfg.halo_a, chunked)
+
+    # Stage B — run merge in SQL (processor.py:390-399): a clean stretch
+    # between two anomalies of length < merge_gap becomes anomalous.
+    w_fwd = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_bwd = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    anom_idx = F.when(F.col("raw_anomaly"), F.col("turn_idx"))
+    b = (
+        a.withColumn("__prev", F.last(anom_idx, ignorenulls=True).over(w_fwd))
+        .withColumn("__next", F.first(anom_idx, ignorenulls=True).over(w_bwd))
+        .withColumn(
+            "is_anomaly",
+            F.col("raw_anomaly")
+            | (
+                F.col("__prev").isNotNull()
+                & F.col("__next").isNotNull()
+                & ((F.col("__next") - F.col("__prev") - 1) < cfg.merge_gap)
+            ),
+        )
+        .drop("__prev", "__next")
+    )
+
+    # Stage C — replacement (processor.py:366-371,401-410): anomalous points
+    # take the reconstruction, clean points keep the (filled) raw value.
+    c = b.withColumn(
+        "treated_tokens",
+        F.when(F.col("is_anomaly"), F.col("med_tokens")).otherwise(F.col("tokens_filled")),
+    ).withColumn(
+        "conv_has_anomaly",
+        F.max(F.col("is_anomaly").cast("int")).over(Window.partitionBy("conv_id")) > 0,
+    )
+
+    # Stage D — final smooth + derivative with per-conv branch.
+    d_fields = [("g_ns", T.DoubleType()), ("g_na", T.DoubleType())]
+    return _apply(c, _stage_d_kernel, d_fields, cfg, cfg.halo_d, chunked)

@@ -1,0 +1,533 @@
+"""Driver-facing query registry: SURVEY.md §2 operators expressed over the
+``/root/testdata`` tables, each with a DuckDB oracle SQL twin.
+
+Determinism rules (the driver hash-compares values):
+
+* float sums go through integer cents (``floor(x*100+0.5)`` — identical IEEE
+  ops on both engines) — unordered float SUM is not reproducible, int sum is;
+* derived floats are a single division of exact ints (bit-identical), or are
+  rounded HALF_UP on both sides;
+* every computed column is aliased identically in Spark and SQL.
+
+Each query notes the reference operator(s) it exercises (SURVEY.md §2 ids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+SQL: dict[str, str] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def _events(spark, sf_dir):
+    e = _load(spark, sf_dir, "events")
+    return e.withColumn("cents", _cents(F.col("value"))).withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+
+
+_CENTS_SQL = "CAST(floor(value*100 + 0.5) AS BIGINT)"
+_EPOCH_SQL = "(epoch_us(ts)//1000000)"
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Tiered rollups (A1/A15/S2-S4 — the lane_node_stats analog)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_1m",
+    f"""
+    SELECT event_type,
+           make_timestamp((({_EPOCH_SQL}//60)*60)*1000000) AS bucket_ts,
+           count(*) AS n_events,
+           sum({_CENTS_SQL}) AS value_cents,
+           sum({_CENTS_SQL})/100.0 AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute tumbling rollup (W1 output-stride analog; 09lane_node.py:341-399)."""
+    e = _events(spark, sf_dir)
+    bucket = F.timestamp_seconds((F.col("epoch_s") - F.col("epoch_s") % 60))
+    return (
+        e.groupBy("event_type", bucket.alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .withColumn("value_sum", F.col("value_cents") / F.lit(100.0))
+    )
+
+
+@query(
+    "rollup_1h_cascade",
+    f"""
+    SELECT event_type,
+           make_timestamp((({_EPOCH_SQL}//3600)*3600)*1000000) AS bucket_ts,
+           count(*) AS n_events,
+           sum({_CENTS_SQL}) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-agg reuse: the hourly tier is computed FROM the minute tier
+    (two-phase aggregation, SURVEY.md §2.4 closing note) and must equal the
+    oracle's direct hourly aggregation exactly — algebraic partials only."""
+    minute = rollup_1m(spark, sf_dir).drop("value_sum")
+    m_epoch = F.unix_timestamp("bucket_ts")
+    bucket = F.timestamp_seconds((m_epoch - m_epoch % 3600))
+    return minute.groupBy("event_type", bucket.alias("bucket_ts")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("value_cents").alias("value_cents")
+    )
+
+
+@query(
+    "count_distinct_1m",
+    f"""
+    SELECT event_type,
+           make_timestamp((({_EPOCH_SQL}//60)*60)*1000000) AS bucket_ts,
+           count(DISTINCT user_id) AS nd_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def count_distinct_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed count-distinct (A2: total_vehicles, 09lane_node.py:360-369)."""
+    e = _events(spark, sf_dir)
+    bucket = F.timestamp_seconds((F.col("epoch_s") - F.col("epoch_s") % 60))
+    return e.groupBy("event_type", bucket.alias("bucket_ts")).agg(
+        F.countDistinct("user_id").alias("nd_users")
+    )
+
+
+@query(
+    "log_normalize",
+    """
+    SELECT event_type, count(*) AS n,
+           round(ln(1 + count(*)) / ln(15), 6) AS n_norm
+    FROM events GROUP BY 1
+    """,
+)
+def log_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log normalization (A15/F5: 09lane_node.py:414-417)."""
+    e = _load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "n_norm", F.round(F.log1p(F.col("n").cast("double")) / F.log(F.lit(15.0)), 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows / sequence ops (W1/W2, A5, A10, J7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sliding_window_sum",
+    f"""
+    SELECT event_id, sum(cents) OVER w AS win_cents, count(*) OVER w AS win_n
+    FROM (SELECT event_id, event_type, {_EPOCH_SQL} AS epoch_s,
+                 {_CENTS_SQL} AS cents FROM events)
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_s
+                 RANGE BETWEEN 60 PRECEDING AND CURRENT ROW)
+    """,
+)
+def sliding_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range sliding window (W1: multi-width windows over seconds,
+    09lane_node.py:341-390) as a rangeBetween window — one shuffle, all keys
+    at once, vs the reference's per-(node,second) rescan loop."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("epoch_s").rangeBetween(-60, 0)
+    return e.select(
+        "event_id",
+        F.sum("cents").over(w).alias("win_cents"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    )
+
+
+@query(
+    "lag_diff",
+    f"""
+    SELECT event_id,
+           cents - lag(cents) OVER w AS diff_cents,
+           CAST(sign(cents - lag(cents) OVER w) AS INT) AS diff_sign
+    FROM (SELECT event_id, user_id, ts, {_CENTS_SQL} AS cents FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First differences + sign (A10 directional accuracy input,
+    15compare_lane_stats.py:131-146; A5 lag pattern)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    diff = F.col("cents") - F.lag("cents").over(w)
+    return e.select(
+        "event_id",
+        diff.alias("diff_cents"),
+        F.signum(diff).cast("int").alias("diff_sign"),
+    )
+
+
+@query(
+    "session_gap_count",
+    f"""
+    SELECT user_id, count(*) AS n_events,
+           sum(CASE WHEN epoch_s - prev_s > 600 THEN 1 ELSE 0 END) AS n_gaps
+    FROM (SELECT user_id, {_EPOCH_SQL} AS epoch_s,
+                 lag({_EPOCH_SQL}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+          FROM events)
+    GROUP BY 1
+    """,
+)
+def session_gap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection (the engine's gap-fill trigger; W10/W15 precursor)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("epoch_s").over(w)
+    return (
+        e.withColumn("gap", ((F.col("epoch_s") - prev) > 600).cast("int"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.sum("gap"), F.lit(0)).alias("n_gaps"),
+        )
+    )
+
+
+@query(
+    "transition_counts",
+    """
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events)
+    WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    GROUP BY 1, 2
+    """,
+)
+def transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition counting (A5: 06lane_transitions.py:65-106 — lag pairs →
+    change filter → groupBy count, replacing the reference's Counter loop)."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type")))
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "asof_next_type",
+    """
+    WITH o AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    ),
+    g AS (SELECT user_id, island, min(event_type) AS island_type FROM i GROUP BY 1, 2),
+    n AS (SELECT user_id, island,
+                 lead(island_type) OVER (PARTITION BY user_id ORDER BY island) AS next_type
+          FROM g)
+    SELECT i.event_id, n.next_type FROM i JOIN n USING (user_id, island)
+    """,
+)
+def asof_next_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Next different value' lookup (J7: get_next_node_for_vehicle,
+    09lane_node.py:113-145 — O(T) rescan per row there; one island pass here)."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    o = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0).alias("chg"),
+    )
+    i = o.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    g = i.groupBy("user_id", "island").agg(F.min("event_type").alias("island_type"))
+    n = g.withColumn(
+        "next_type",
+        F.lead("island_type").over(Window.partitionBy("user_id").orderBy("island")),
+    )
+    return i.join(n.select("user_id", "island", "next_type"), ["user_id", "island"]).select(
+        "event_id", "next_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J3/J4/J6/J8) + top-k (A6/O2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "interval_mask_counts",
+    """
+    WITH mask AS (
+      SELECT event_type, (min(epoch_us(ts)) + max(epoch_us(ts)))//2 AS mid
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           sum(CASE WHEN epoch_us(e.ts) <= m.mid THEN 1 ELSE 0 END) AS observed_cnt,
+           sum(CASE WHEN epoch_us(e.ts) > m.mid THEN 1 ELSE 0 END) AS nulled_cnt
+    FROM events e JOIN mask m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def interval_mask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval mask join + retention nulling (J4/W17: 13test_data.py:81-117,
+    11merge_realworld_with_mask.py) — the mask is small → broadcast."""
+    e = _load(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    mask = e.groupBy("event_type").agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+    )
+    joined = e.join(F.broadcast(mask), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.sum((F.col("us") <= F.col("mid")).cast("int")).alias("observed_cnt"),
+        F.sum((F.col("us") > F.col("mid")).cast("int")).alias("nulled_cnt"),
+    )
+
+
+@query(
+    "overwrite_coalesce_join",
+    f"""
+    WITH a AS (SELECT user_id, {_EPOCH_SQL}//86400 AS day, sum({_CENTS_SQL}) AS c
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         b AS (SELECT user_id, {_EPOCH_SQL}//86400 AS day, sum({_CENTS_SQL}) AS c
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           coalesce(a.day, b.day) AS day,
+           coalesce(b.c, a.c) AS merged_cents
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.day = b.day
+    """,
+)
+def overwrite_coalesce_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overwrite join: B's values replace A's where present (J6:
+    13realworld_merge_testdata.py coalesce-priority merge)."""
+    e = _events(spark, sf_dir)
+    day = (F.col("epoch_s") / 86400).cast("long").alias("day")
+
+    def side(t):
+        return (
+            e.where(F.col("event_type") == t)
+            .groupBy("user_id", day)
+            .agg(F.sum("cents").alias("c"))
+        )
+
+    a, b = side("view").alias("a"), side("click").alias("b")
+    return a.join(b, ["user_id", "day"], "full_outer").select(
+        "user_id", "day", F.coalesce(F.col("b.c"), F.col("a.c")).alias("merged_cents")
+    )
+
+
+@query(
+    "top1_user_per_type",
+    """
+    SELECT event_type, user_id, cnt FROM (
+      SELECT event_type, user_id, count(*) AS cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rn
+      FROM events GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+def top1_user_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group (A6: 07build_graph.py:94-127 direct/near split; O2)."""
+    e = _load(spark, sf_dir, "events")
+    cnt = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("user_id"))
+    return cnt.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-agg with filter pushdown (A8 family; TPC-H Q1 shape)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / text analysis / similarity search
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"]
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+    FROM documents WHERE text IS NOT NULL GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (P8 analog; training-data pipeline op)."""
+    d = _load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt")
+    )
+
+
+@query(
+    "token_count_docs",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic whitespace token counting (text-analysis op; the same
+    tokenizer the transcript engine uses for token_count)."""
+    d = _load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    n = F.when(F.trim("text") == "", 0).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return d.select("doc_id", n.alias("n_tokens"))
+
+
+@query(
+    "quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT doc_id, len(toks) AS n_tokens,
+           len(list_filter(toks, x -> list_contains(
+               ['the','a','of','to','and','in','is','for','on','with'], x))) AS stop_cnt,
+           CAST(len(list_filter(toks, x -> list_contains(
+               ['the','a','of','to','and','in','is','for','on','with'], x))) AS DOUBLE)
+             / len(toks) AS stop_ratio
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: stopword ratio (training-data pipeline op)."""
+    d = _load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stop.alias("stop_cnt"),
+        (stop.cast("double") / n).alias("stop_ratio"),
+    )
+
+
+@query(
+    "knn_cosine",
+    """
+    WITH q AS (SELECT unnest(embedding)::DOUBLE AS qv,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings),
+         d AS (SELECT e.vec_id, sum(e.v * q.qv) AS dot,
+                      sum(e.v * e.v) AS na, sum(q.qv * q.qv) AS nb
+               FROM e JOIN q USING (i) GROUP BY 1)
+    SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM d WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (ANN baseline). Rounded to
+    4 dp before ranking on both sides — unordered float sums differ in ulps."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qcol = F.array([F.lit(float(v)) for v in qvec])
+    e = emb.withColumn("de", F.transform("embedding", lambda x: x.cast("double")))
+    dot = F.aggregate(
+        F.zip_with("de", qcol, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.aggregate(
+        F.transform("de", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nb = float(sum(float(v) * float(v) for v in qvec))
+    cos = F.round(dot / (F.sqrt(na) * F.sqrt(F.lit(nb))), 4)
+    return (
+        e.where(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible: full treatment chain (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+@query("treatment_pipeline", None)
+def treatment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SG smooth → median reconstruction → anomaly mask/merge → replace →
+    Gaussian smooth → derivative (processor.py:314-465), run over the events
+    table as per-user value series. Not SQL-expressible (custom kernels);
+    its exactness is covered by tests/test_treatment_parity.py vs the pandas
+    oracle instead."""
+    from pneuma_treatment_spark.operators.treatment import TreatmentConfig, treat_transcripts
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.col("value").alias("token_count"),
+    )
+    out = treat_transcripts(series, TreatmentConfig())
+    return out.select(
+        "conv_id", "turn_idx", "sg_tokens", "med_tokens", "is_anomaly", "g_ns", "g_na"
+    )

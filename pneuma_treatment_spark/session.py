@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The sandbox runs a single JVM (``local[N]``); on a real cluster the same
+configs apply unchanged — AQE re-plans shuffles at runtime (coalescing small
+partitions, splitting skewed ones), Arrow moves pandas-UDF batches
+zero-copy-ish, and UTC pins timestamp semantics so results are byte-stable
+across driver timezones (and comparable to the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions: ~cores locally; a real 1000-executor cluster would set
+# this to 2-3x total cores (AQE coalesces the excess at runtime).
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pneuma_treatment_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{_DEFAULT_CPUS}]")
+    shuffle_partitions = shuffle_partitions or _DEFAULT_CPUS
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join splitting. At 100 TB
+        # this is what keeps a few hot conv_id/bucket keys from stalling a stage.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for all pandas UDF / applyInPandas transport (the treatment
+        # kernels are Arrow-batched; row-at-a-time Python never runs).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # UTC everywhere: stable semantics + DuckDB-comparable timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Deterministic float behavior for tests (no ANSI surprises).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
