@@ -40,24 +40,22 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def run_transcript_pipeline(spark, n_convs: int = 4000, seed: int = 42):
-    """Full engine pipeline on synthetic transcripts: synth → metrics →
-    gap-fill → treatment → 1m/1h/1d cascade. Returns turns processed."""
-    from pneuma_treatment_spark.operators.gapfill import gap_fill
-    from pneuma_treatment_spark.operators.rollup import rollup_cascade, with_turn_metrics
-    from pneuma_treatment_spark.operators.treatment import TreatmentConfig, treat_transcripts
-    from pneuma_treatment_spark.synth import generate_transcripts
+def run_transcript_pipeline(spark, n_convs: int = 10000, seed: int = 42):
+    """Full engine pipeline (synth → gap-fill → treatment → tier cascade →
+    Gorilla chunks), checkpointed stages, cold workdir. Returns turn count."""
+    import shutil
+    import tempfile
 
-    raw = generate_transcripts(spark, n_convs, seed=seed, mega_turns=20000)
-    raw = with_turn_metrics(raw)
-    n_turns = raw.count()
-    filled = gap_fill(raw, lerp_cols=("token_count",), lerp_ts_cols=("ts",))
-    treated = treat_transcripts(filled, TreatmentConfig(), chunked=True)
-    _force(treated)
-    tiers = rollup_cascade(filled)
-    for t in tiers.values():
-        _force(t)
-    return n_turns
+    from jobs.rollup_job import run_pipeline
+
+    wd = tempfile.mkdtemp(prefix="bench_ptsw_")
+    try:
+        summary = run_pipeline(
+            spark, wd, n_convs=n_convs, seed=seed, mega_turns=50000, chunked=True
+        )
+        return summary["stages"]["ingest"]["rows"]
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 def main() -> None:

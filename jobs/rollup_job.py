@@ -1,0 +1,195 @@
+"""End-to-end rollup job: synth/ingest → gap-fill → treatment → tier
+cascade → Gorilla chunks, every stage checkpointed + resumable.
+
+Run locally or via spark-submit (M7 packaging):
+
+    python jobs/rollup_job.py --workdir /tmp/ptsw --n-convs 4000
+    spark-submit --py-files dist/pneuma_treatment_spark.zip jobs/rollup_job.py ...
+
+Stage boundaries land exactly where the reference re-keys between its
+numbered scripts (SURVEY.md §3): by series (treatment) → by (series, bucket)
+(rollups) → by series (chunks). Each boundary is an idempotent partitioned
+parquet table + manifest, so a killed job resumes at the first incomplete
+stage (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pneuma_treatment_spark.compression.chunks import write_chunks
+from pneuma_treatment_spark.io.tableio import TableIO
+from pneuma_treatment_spark.operators.gapfill import gap_fill
+from pneuma_treatment_spark.operators.retention import ttl_sql_predicate
+from pneuma_treatment_spark.operators.rollup import (
+    rollup_from_tier,
+    rollup_raw,
+    with_turn_metrics,
+)
+from pneuma_treatment_spark.operators.treatment import TreatmentConfig, treat_transcripts
+from pneuma_treatment_spark.plans.lineage import PipelineRunner
+from pneuma_treatment_spark.synth import generate_transcripts
+
+#: tier TTLs (days) — finer tiers age out first (retention cascade)
+DEFAULT_TTLS = {"1m": 90, "1h": 365, "1d": 3650}
+
+
+def run_pipeline(
+    spark,
+    workdir: str,
+    n_convs: int = 1000,
+    seed: int = 42,
+    mega_turns: int = 20000,
+    chunked: bool = True,
+    cfg: TreatmentConfig | None = None,
+    input_table: str | None = None,
+    ttl_now: str | None = None,
+    stop_after: str | None = None,
+) -> dict:
+    """Run (or resume) the full pipeline; returns a stage→metrics summary.
+
+    ``input_table``: optional path to an existing transcripts parquet table;
+    default synthesizes deterministically. ``stop_after``: stage name to halt
+    after (used by the resume test to simulate a mid-job kill).
+    """
+    cfg = cfg or TreatmentConfig()
+    io = TableIO(spark, workdir)
+    runner = PipelineRunner(
+        io,
+        config={
+            "n_convs": n_convs,
+            "seed": seed,
+            "mega_turns": mega_turns,
+            "chunked": chunked,
+            "input_table": input_table,
+            "treatment": cfg.__dict__,
+        },
+    )
+
+    order = []
+
+    def stage(name, build, **kw):
+        order.append(name)
+        df = runner.run_stage(name, build, **kw)
+        if stop_after == name:
+            raise _StopPipeline(name)
+        return df
+
+    try:
+        ingest = stage(
+            "ingest",
+            lambda io: with_turn_metrics(
+                spark.read.parquet(input_table)
+                if input_table
+                else generate_transcripts(spark, n_convs, seed=seed, mega_turns=mega_turns)
+            ),
+        )
+        filled = stage(
+            "filled",
+            lambda io: gap_fill(ingest, lerp_cols=("token_count",), lerp_ts_cols=("ts",)),
+            deps=["ingest"],
+        )
+        stage(
+            "treated",
+            lambda io: treat_transcripts(filled, cfg, chunked=chunked),
+            deps=["filled"],
+        )
+        m1 = stage(
+            "rollup_1m",
+            lambda io: rollup_raw(ingest, "1m"),
+            deps=["ingest"],
+            ts_col="bucket_ts",
+        )
+        h1 = stage(
+            "rollup_1h",
+            lambda io: rollup_from_tier(m1, "1m", "1h"),
+            deps=["rollup_1m"],
+            ts_col="bucket_ts",
+            bucketed=False,  # coarse tier: day-only partitioning
+        )
+        d1 = stage(
+            "rollup_1d",
+            lambda io: rollup_from_tier(h1, "1h", "1d"),
+            deps=["rollup_1h"],
+            ts_col="bucket_ts",
+            bucketed=False,
+        )
+        cols = [
+            "conv_id", "tier", "bucket_ts", "turn_count", "token_rate",
+            "tool_call_rate", "turns_norm",
+        ]
+        stage(
+            "chunks",
+            lambda io: write_chunks(
+                m1.select(cols).unionByName(h1.select(cols)).unionByName(d1.select(cols))
+            ),
+            deps=["rollup_1m", "rollup_1h", "rollup_1d"],
+            partitioned=False,
+        )
+        if ttl_now:
+            for tier, days in DEFAULT_TTLS.items():
+                io.delete_where(f"rollup_{tier}", ttl_sql_predicate(days, ttl_now))
+    except _StopPipeline:
+        pass
+
+    return {
+        "stages": {
+            n: {
+                "rows": r.rows,
+                "skipped": r.skipped,
+                "wall_sec": round(r.wall_sec, 3),
+                "n_partitions": len(r.partitions),
+            }
+            for n, r in runner.results.items()
+        },
+        "order": order,
+    }
+
+
+class _StopPipeline(Exception):
+    pass
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--n-convs", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--mega-turns", type=int, default=20000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--no-chunked", action="store_true")
+    ap.add_argument("--input-table", default=None)
+    ap.add_argument("--ttl-now", default=None)
+    args = ap.parse_args()
+
+    from pneuma_treatment_spark.session import get_spark
+
+    spark = get_spark(
+        "rollup-job", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    summary = run_pipeline(
+        spark,
+        args.workdir,
+        n_convs=args.n_convs,
+        seed=args.seed,
+        mega_turns=args.mega_turns,
+        chunked=not args.no_chunked,
+        input_table=args.input_table,
+        ttl_now=args.ttl_now,
+    )
+    summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
+    summary["turns"] = summary["stages"]["ingest"]["rows"]
+    summary["turns_per_sec"] = round(summary["turns"] / summary["total_wall_sec"], 1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""TableIO — Iceberg-shaped table layer over partitioned Parquet.
+
+The target deployment stores every engine table in Iceberg, partitioned
+``days(ts) x bucket(conv_id, N)`` (BASELINE.json design target: 10^12 turns).
+This sandbox has no Iceberg runtime jar, so TableIO implements the identical
+layout and write discipline on plain Parquet:
+
+* partition columns ``p_day`` (date) and ``p_bucket`` (xxhash64(conv_id) mod N)
+  are materialized and used with ``write.partitionBy`` — readers get partition
+  pruning on day ranges and bucket-local joins for free;
+* writes are idempotent **dynamic partition overwrites** (the resume/retry
+  story: re-running a stage replaces exactly the partitions it produces,
+  never appends duplicates) — same semantics as Iceberg's
+  ``overwritePartitions()``;
+* all methods take/return DataFrames only, so flipping to real Iceberg is a
+  config change (``writeTo(...).using("iceberg")``), not a rewrite.
+
+The reference's analog is one CSV per stage (``src/processor.py:450-455``,
+every numbered script) — full materialization, no partitioning, no
+idempotence. We keep the restartability, fix the layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 8):
+        # n_buckets scales with the cluster (1024 on a 1000-executor
+        # deployment); 8 keeps local partition-dir counts sane.
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.n_buckets = n_buckets
+        # Dynamic mode: INSERT OVERWRITE replaces only written partitions.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def path(self, table: str) -> str:
+        return f"{self.root}/{table}"
+
+    def with_partition_cols(
+        self, df: DataFrame, ts_col: str = "ts", key_col: str = "conv_id"
+    ) -> DataFrame:
+        return df.withColumn("p_day", F.to_date(F.col(ts_col))).withColumn(
+            "p_bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partitioned: bool = True,
+        ts_col: str = "ts",
+        key_col: str = "conv_id",
+        bucketed: bool = True,
+    ) -> None:
+        """``bucketed=False`` partitions by day only — right for coarse
+        rollup tiers whose row counts are 1/3600+ of raw (day x bucket dirs
+        would be mostly tiny files)."""
+        w = df
+        if partitioned:
+            if "p_day" not in df.columns:
+                w = self.with_partition_cols(df, ts_col, key_col)
+            cols = ["p_day", "p_bucket"] if bucketed else ["p_day"]
+            if not bucketed:
+                w = w.drop("p_bucket")
+            # Cluster rows by their target partition before the write: without
+            # this every task appends a file to every partition dir —
+            # tasks x dirs tiny files, which then dominates downstream scan
+            # time. With it each partition dir gets one file. (Same move as
+            # Iceberg's write.distribution-mode=hash.)
+            (
+                w.repartition(*cols)
+                .write.mode("overwrite")
+                .partitionBy(*cols)
+                .parquet(self.path(table))
+            )
+        else:
+            w.write.mode("overwrite").parquet(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def delete_where(self, table: str, predicate: str) -> None:
+        """Partition-level TTL delete (Iceberg ``DELETE WHERE`` analog):
+        rewrite the table keeping rows NOT matching the predicate. On real
+        Iceberg with a partition-aligned predicate this is metadata-only."""
+        df = self.read(table).where(f"NOT ({predicate})")
+        tmp = self.path(table) + ".__tmp__"
+        df.write.mode("overwrite").partitionBy(
+            *[c for c in ("p_day", "p_bucket") if c in df.columns]
+        ).parquet(tmp)
+        # atomic-ish swap (sandbox-local; Iceberg does this transactionally)
+        import shutil
+
+        dst = self.path(table)
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.move(tmp, dst)

@@ -55,48 +55,58 @@ def gap_fill(
     * ``lerp_ts_cols``: timestamps lerped via epoch-microseconds.
     """
     dense = densify(df, key, idx)
+    # Execution shape: exactly TWO Window blocks — every forward expression
+    # in one projection (ascending running frame), every backward one in a
+    # second (DESCENDING running frame) — so the whole fill costs one
+    # shuffle + two sorts regardless of how many columns are filled.
+    # Running frames evaluate incrementally (O(n) per partition); a
+    # (current → unboundedFollowing) frame is re-aggregated from scratch per
+    # row — O(n²), which a single mega-conversation turns into minutes.
     w_fwd = (
         Window.partitionBy(key)
-        .orderBy(idx)
+        .orderBy(F.col(idx).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_bwd = (
         Window.partitionBy(key)
-        .orderBy(idx)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(idx).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    out = dense
-    for c in ffill_cols:
-        out = out.withColumn(
-            c,
-            F.coalesce(
-                F.last(c, ignorenulls=True).over(w_fwd),
-                F.first(c, ignorenulls=True).over(w_bwd),
-            ),
-        )
+    def src(c: str, as_ts: bool):
+        return F.unix_micros(F.col(c).cast("timestamp")) if as_ts else F.col(c).cast("double")
 
-    def lerp(out: DataFrame, c: str, as_ts: bool) -> DataFrame:
-        src = F.unix_micros(F.col(c).cast("timestamp")) if as_ts else F.col(c).cast("double")
-        out = out.withColumn("__v", src)
-        prev_v = F.last("__v", ignorenulls=True).over(w_fwd)
-        prev_i = F.last(F.when(F.col("__v").isNotNull(), F.col(idx)), ignorenulls=True).over(w_fwd)
-        next_v = F.first("__v", ignorenulls=True).over(w_bwd)
-        next_i = F.first(F.when(F.col("__v").isNotNull(), F.col(idx)), ignorenulls=True).over(w_bwd)
-        frac = (F.col(idx) - prev_i).cast("double") / (next_i - prev_i).cast("double")
-        filled = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
-            F.when(prev_v.isNull(), next_v)
-            .when(next_v.isNull(), prev_v)
-            .otherwise(prev_v + (next_v - prev_v) * frac)
+    lerps = [(c, False) for c in lerp_cols] + [(c, True) for c in lerp_ts_cols]
+
+    fwd_exprs = [F.last(c, ignorenulls=True).over(w_fwd).alias(f"__f_{c}") for c in ffill_cols]
+    bwd_exprs = [F.last(c, ignorenulls=True).over(w_bwd).alias(f"__b_{c}") for c in ffill_cols]
+    for c, as_ts in lerps:
+        nn_idx = F.when(src(c, as_ts).isNotNull(), F.col(idx))
+        fwd_exprs += [
+            F.last(src(c, as_ts), ignorenulls=True).over(w_fwd).alias(f"__pv_{c}"),
+            F.last(nn_idx, ignorenulls=True).over(w_fwd).alias(f"__pi_{c}"),
+        ]
+        bwd_exprs += [
+            F.last(src(c, as_ts), ignorenulls=True).over(w_bwd).alias(f"__nv_{c}"),
+            F.last(nn_idx, ignorenulls=True).over(w_bwd).alias(f"__ni_{c}"),
+        ]
+
+    out = dense.select("*", *fwd_exprs).select("*", *bwd_exprs)
+
+    temps: list[str] = []
+    for c in ffill_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__f_{c}"), F.col(f"__b_{c}")))
+        temps += [f"__f_{c}", f"__b_{c}"]
+    for c, as_ts in lerps:
+        v = src(c, as_ts)
+        pv, pi = F.col(f"__pv_{c}"), F.col(f"__pi_{c}")
+        nv, ni = F.col(f"__nv_{c}"), F.col(f"__ni_{c}")
+        frac = (F.col(idx) - pi).cast("double") / (ni - pi).cast("double")
+        filled = F.when(v.isNotNull(), v).otherwise(
+            F.when(pv.isNull(), nv).when(nv.isNull(), pv).otherwise(pv + (nv - pv) * frac)
         )
         if as_ts:
-            return out.withColumn(
-                c, F.timestamp_micros(F.floor(filled + F.lit(0.5)).cast("long"))
-            ).drop("__v")
-        return out.withColumn(c, filled).drop("__v")
-
-    for c in lerp_cols:
-        out = lerp(out, c, as_ts=False)
-    for c in lerp_ts_cols:
-        out = lerp(out, c, as_ts=True)
-    return out
+            filled = F.timestamp_micros(F.floor(filled + F.lit(0.5)).cast("long"))
+        out = out.withColumn(c, filled)
+        temps += [f"__pv_{c}", f"__pi_{c}", f"__nv_{c}", f"__ni_{c}"]
+    return out.drop(*temps)

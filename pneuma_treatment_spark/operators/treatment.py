@@ -46,6 +46,7 @@ class TreatmentConfig:
     merge_gap: int = 10          # merge anomaly runs < 10 apart (processor.py:303)
     gauss_sigma: float = 12.0    # processor.py:91 (gaussian_filter1d sigma=12)
     chunk_len: int = 4096        # chunked-mode segment length (mega-conversations)
+    group_buckets: int = 256     # pandas-stage task granularity (see _apply)
 
     @property
     def halo_a(self) -> int:
@@ -93,15 +94,33 @@ def _apply(df: DataFrame, kernel, added_fields, cfg: TreatmentConfig, halo: int,
     mode — per (conv_id, chunk) with ``halo`` overlap rows, keeping each
     row's own-chunk output only.
 
+    Execution granularity: Spark groups carry a fixed Arrow/scheduling
+    overhead (~ms each), so grouping BY series (millions of tiny groups at
+    scale) wastes most of the time on overhead. Instead we shuffle on a hash
+    bucket of the series key (``cfg.group_buckets`` groups — scale it with
+    the cluster) and iterate the actual series with a pandas groupby inside
+    the task: per-series overhead drops to microseconds, and task memory is
+    bounded by bucket size (chunked mode additionally bounds any single
+    series unit by chunk_len + 2·halo).
+
     Chunked mode requires a dense ``turn_idx`` and pre-filled values (run
     :func:`...gapfill.gap_fill` first so in-kernel interpolation is a no-op);
-    then halo ≥ kernel radius ⇒ identical to whole-series apply, while the
-    max group size is bounded by chunk_len + 2·halo — this is what lets a
-    10^8-turn conversation flow through fixed-memory executors.
+    then halo ≥ kernel radius ⇒ identical to whole-series apply — this is
+    what lets a 10^8-turn conversation flow through fixed-memory executors.
     """
+    G = cfg.group_buckets
+
     if not chunked:
-        out_schema = _added(df.schema, added_fields)
-        return df.groupBy("conv_id").applyInPandas(lambda p: kernel(p, cfg), out_schema)
+        keyed = df.withColumn(
+            "__g", F.pmod(F.xxhash64("conv_id"), F.lit(G)).cast("int")
+        )
+        out_schema = _added(keyed.schema, added_fields)
+
+        def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = [kernel(g, cfg) for _, g in pdf.groupby("conv_id", sort=False)]
+            return pd.concat(parts, ignore_index=True)
+
+        return keyed.groupBy("__g").applyInPandas(run_bucket, out_schema).drop("__g")
 
     L, H = cfg.chunk_len, halo
     own = F.floor(F.col("turn_idx") / L).cast("long")
@@ -113,20 +132,27 @@ def _apply(df: DataFrame, kernel, added_fields, cfg: TreatmentConfig, halo: int,
             F.when(pos >= L - H, own + 1),     # serve next chunk's left halo
         )
     )
-    exploded = df.withColumn("__chunk", F.explode(chunks)).where(F.col("__chunk") >= 0)
+    exploded = (
+        df.withColumn("__chunk", F.explode(chunks))
+        .where(F.col("__chunk") >= 0)
+        .withColumn(
+            "__g",
+            F.pmod(F.xxhash64("conv_id", "__chunk"), F.lit(G)).cast("int"),
+        )
+    )
     grouped_schema = _added(exploded.schema, added_fields)
 
-    def kernel_with_core(pdf: pd.DataFrame) -> pd.DataFrame:
-        chunk = int(pdf["__chunk"].iloc[0])
-        res = kernel(pdf.drop(columns="__chunk"), cfg)
-        res["__chunk"] = chunk
-        core = (res["turn_idx"] // L) == chunk
-        return res[core]
+    def run_bucket_chunked(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for (_, chunk), g in pdf.groupby(["conv_id", "__chunk"], sort=False):
+            res = kernel(g.drop(columns=["__chunk", "__g"]), cfg)
+            res["__chunk"] = chunk
+            res["__g"] = g["__g"].iloc[0]
+            parts.append(res[(res["turn_idx"] // L) == chunk])
+        return pd.concat(parts, ignore_index=True)
 
-    res = exploded.groupBy("conv_id", "__chunk").applyInPandas(
-        kernel_with_core, grouped_schema
-    )
-    return res.drop("__chunk")
+    res = exploded.groupBy("__g").applyInPandas(run_bucket_chunked, grouped_schema)
+    return res.drop("__chunk", "__g")
 
 
 def treat_transcripts(
@@ -151,16 +177,18 @@ def treat_transcripts(
 
     # Stage B — run merge in SQL (processor.py:390-399): a clean stretch
     # between two anomalies of length < merge_gap becomes anomalous.
-    w_fwd = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+    # Backward lookup uses a running frame over a descending sort (the
+    # unboundedFollowing frame is O(n²) per partition — see gapfill.py).
+    w_fwd = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_bwd = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    w_bwd = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     anom_idx = F.when(F.col("raw_anomaly"), F.col("turn_idx"))
     b = (
         a.withColumn("__prev", F.last(anom_idx, ignorenulls=True).over(w_fwd))
-        .withColumn("__next", F.first(anom_idx, ignorenulls=True).over(w_bwd))
+        .withColumn("__next", F.last(anom_idx, ignorenulls=True).over(w_bwd))
         .withColumn(
             "is_anomaly",
             F.col("raw_anomaly")

@@ -1,0 +1,141 @@
+"""Checkpointed, resumable stage execution with per-partition lineage.
+
+north_rule requirement: "every stage checkpoints per-partition lineage and
+metrics so the job resumes mid-rollup". The reference gets restartability
+implicitly from one-CSV-per-stage (SURVEY.md §3 — each numbered script is a
+de-facto checkpoint); here it is explicit and content-addressed:
+
+* each stage writes its output table via TableIO (idempotent partition
+  overwrite) and a manifest JSON: input signature (config + upstream stage
+  signatures), row count, per-partition row counts, wall-clock, status;
+* on re-run, a stage whose signature matches a COMPLETE manifest is skipped
+  and its table is read back — so a job killed after stage k resumes at
+  stage k+1 and produces byte-identical output (tests/test_resume.py);
+* signatures chain (stage sig includes dep sigs), so changing an upstream
+  config invalidates exactly the downstream stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from pneuma_treatment_spark.io.tableio import TableIO
+
+
+@dataclass
+class StageResult:
+    name: str
+    signature: str
+    rows: int
+    skipped: bool
+    wall_sec: float
+    partitions: dict[str, int] = field(default_factory=dict)
+
+
+class PipelineRunner:
+    def __init__(self, io: TableIO, config: dict | None = None):
+        self.io = io
+        self.config = config or {}
+        self.manifest_dir = Path(io.root) / "_manifest"
+        self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        self._sigs: dict[str, str] = {}
+        self.results: dict[str, StageResult] = {}
+
+    # -- signatures ---------------------------------------------------------
+    def _signature(self, name: str, deps: list[str], extra: dict | None) -> str:
+        payload = {
+            "stage": name,
+            "config": self.config,
+            "extra": extra or {},
+            "deps": {d: self._sigs[d] for d in deps},
+        }
+        return hashlib.sha256(json.dumps(payload, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+    def _manifest_path(self, name: str) -> Path:
+        return self.manifest_dir / f"{name}.json"
+
+    # -- execution ----------------------------------------------------------
+    def run_stage(
+        self,
+        name: str,
+        build,
+        deps: list[str] | None = None,
+        extra_sig: dict | None = None,
+        partitioned: bool = True,
+        ts_col: str = "ts",
+        key_col: str = "conv_id",
+        bucketed: bool = True,
+    ) -> DataFrame:
+        """Run ``build(io) -> DataFrame`` or skip if already complete.
+
+        Returns the stage output read back from its table (so downstream
+        stages never re-execute upstream lineage — each stage boundary is a
+        scan, exactly like the reference's CSV boundaries but partitioned).
+        """
+        deps = deps or []
+        sig = self._signature(name, deps, extra_sig)
+        self._sigs[name] = sig
+        mpath = self._manifest_path(name)
+
+        if mpath.exists():
+            m = json.loads(mpath.read_text())
+            if m.get("status") == "COMPLETE" and m.get("signature") == sig:
+                self.results[name] = StageResult(
+                    name, sig, m["rows"], True, 0.0, m.get("partitions", {})
+                )
+                return self.io.read(name)
+
+        t0 = time.perf_counter()
+        df = build(self.io)
+        self.io.write(
+            df, name, partitioned=partitioned, ts_col=ts_col, key_col=key_col,
+            bucketed=bucketed,
+        )
+        out = self.io.read(name)
+        parts: dict[str, int] = {}
+        if partitioned and "p_day" in out.columns:
+            for r in out.groupBy("p_day").count().collect():
+                parts[str(r["p_day"])] = r["count"]
+            rows = sum(parts.values())
+        else:
+            rows = out.count()
+        wall = time.perf_counter() - t0
+        mpath.write_text(
+            json.dumps(
+                {
+                    "status": "COMPLETE",
+                    "stage": name,
+                    "signature": sig,
+                    "rows": rows,
+                    "partitions": parts,
+                    "wall_sec": round(wall, 3),
+                    "finished_at": time.time(),
+                },
+                indent=2,
+            )
+        )
+        self.results[name] = StageResult(name, sig, rows, False, wall, parts)
+        return out
+
+    def total_rows(self, name: str) -> int:
+        return self.results[name].rows
+
+
+def partition_counts(df: DataFrame) -> dict[str, int]:
+    return {
+        str(r["p_day"]): r["count"] for r in df.groupBy("p_day").count().collect()
+    }
+
+
+def verify_partition_lineage(io: TableIO, name: str) -> bool:
+    """Recount a stage's partitions and compare to its manifest (integrity
+    check used by tests and ops tooling)."""
+    m = json.loads((Path(io.root) / "_manifest" / f"{name}.json").read_text())
+    actual = partition_counts(io.read(name))
+    return actual == m.get("partitions") and sum(actual.values()) == m["rows"]

@@ -1,0 +1,92 @@
+"""Gorilla codec: encode→decode == identity (SURVEY.md §5 item 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pneuma_treatment_spark.compression.gorilla import decode_chunk, encode_chunk
+
+rng = np.random.default_rng(99)
+
+
+def _roundtrip(ts, vals):
+    blob = encode_chunk(ts, vals)
+    ts2, vals2 = decode_chunk(blob)
+    np.testing.assert_array_equal(np.asarray(ts, dtype=np.int64), ts2)
+    # bit-exact including NaN payloads
+    np.testing.assert_array_equal(
+        np.asarray(vals, dtype=np.float64).view(np.uint64), vals2.view(np.uint64)
+    )
+    return blob
+
+
+def test_regular_grid_constant_values():
+    ts = np.arange(0, 3600_000_000, 60_000_000, dtype=np.int64)  # 1-min grid
+    vals = np.full(len(ts), 3.25)
+    blob = _roundtrip(ts, vals)
+    # regular grid + constant values → ~1 bit/point + fixed header
+    assert len(blob) < 44 + len(ts) * 0.5
+
+
+def test_noisy_series():
+    n = 5000
+    ts = np.cumsum(rng.integers(1, 10_000_000, n)).astype(np.int64)
+    vals = rng.normal(100, 15, n)
+    _roundtrip(ts, vals)
+
+
+def test_nulls_and_special_floats():
+    ts = np.arange(10, dtype=np.int64) * 1_000_000
+    vals = np.array([1.5, np.nan, np.nan, 0.0, -0.0, np.inf, -np.inf, 1e-308, 1e308, 2.5])
+    _roundtrip(ts, vals)
+
+
+def test_irregular_dod_classes():
+    # deltas hitting every dod bucket incl. the 64-bit raw escape
+    deltas = np.array([100, 100, 101, 90, 400, 100, 3000, 100, 10**12, 100, 100])
+    ts = np.concatenate([[0], np.cumsum(deltas)]).astype(np.int64)
+    vals = rng.normal(0, 1, len(ts))
+    _roundtrip(ts, vals)
+
+
+def test_negative_dod_and_backward_ts():
+    ts = np.array([0, 1000, 1900, 2100, 2100, 5000], dtype=np.int64)
+    vals = np.array([1.0, 1.0, 2.0, 2.0, 3.0, 3.0])
+    _roundtrip(ts, vals)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3])
+def test_tiny_series(n):
+    ts = np.arange(n, dtype=np.int64) * 7_000_000
+    vals = rng.normal(0, 1, n)
+    _roundtrip(ts, vals)
+
+
+def test_compression_ratio_rollup_like():
+    """Rollup-ish series (regular grid, slowly varying rounded values)
+    should compress well below raw 16 B/point."""
+    n = 2000
+    ts = np.arange(n, dtype=np.int64) * 60_000_000
+    vals = np.round(np.cumsum(rng.normal(0, 0.05, n)) + 10, 2)
+    blob = encode_chunk(ts, vals)
+    assert len(blob) < n * 16 * 0.6
+
+
+def test_spark_chunk_tables(spark, transcripts_df):
+    from pneuma_treatment_spark.compression.chunks import read_chunks, write_chunks
+    from pneuma_treatment_spark.operators.rollup import rollup_raw, with_turn_metrics
+
+    tier = rollup_raw(with_turn_metrics(transcripts_df), "1m")
+    chunks = write_chunks(tier)
+    points = read_chunks(chunks).toPandas()
+    want = tier.select("conv_id", "bucket_ts", "token_rate").toPandas()
+    got = points[points.metric == "token_rate"]
+    assert len(got) == len(want)
+    merged = want.merge(
+        got.rename(columns={"value": "decoded"}), on=["conv_id", "bucket_ts"]
+    )
+    assert len(merged) == len(want)
+    lhs = merged["token_rate"].to_numpy(np.float64)
+    rhs = merged["decoded"].to_numpy(np.float64)
+    np.testing.assert_array_equal(lhs.view(np.uint64), rhs.view(np.uint64))

@@ -1,0 +1,62 @@
+"""Kill-and-resume semantics (SURVEY.md §5 item 5): a job stopped after
+stage k resumes without recomputing k stages and produces identical output."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from jobs.rollup_job import run_pipeline
+from pneuma_treatment_spark.io.tableio import TableIO
+from pneuma_treatment_spark.plans.lineage import verify_partition_lineage
+
+ARGS = dict(n_convs=40, seed=11, mega_turns=800)
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    wd = str(tmp_path / "wd")
+    yield wd
+    shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_resume_skips_completed_stages(spark, workdir):
+    # simulate a kill after the 'treated' stage
+    s1 = run_pipeline(spark, workdir, **ARGS, stop_after="treated")
+    assert set(s1["stages"]) == {"ingest", "filled", "treated"}
+    assert not any(st["skipped"] for st in s1["stages"].values())
+
+    # resume: completed stages skip, remaining stages run
+    s2 = run_pipeline(spark, workdir, **ARGS)
+    assert s2["stages"]["ingest"]["skipped"]
+    assert s2["stages"]["filled"]["skipped"]
+    assert s2["stages"]["treated"]["skipped"]
+    assert not s2["stages"]["rollup_1d"]["skipped"]
+
+    # resumed output == fresh output
+    io = TableIO(spark, workdir)
+    resumed = io.read("rollup_1d").toPandas()
+    fresh_dir = workdir + "_fresh"
+    run_pipeline(spark, fresh_dir, **ARGS)
+    fresh = TableIO(spark, fresh_dir).read("rollup_1d").toPandas()
+    cols = sorted(resumed.columns)
+    a = resumed[cols].sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    b = fresh[cols].sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    shutil.rmtree(fresh_dir, ignore_errors=True)
+
+
+def test_partition_lineage_manifest(spark, workdir):
+    run_pipeline(spark, workdir, **ARGS)
+    io = TableIO(spark, workdir)
+    for stage in ("ingest", "filled", "rollup_1m", "rollup_1h", "rollup_1d"):
+        assert verify_partition_lineage(io, stage), stage
+
+
+def test_config_change_invalidates_downstream(spark, workdir):
+    run_pipeline(spark, workdir, **ARGS)
+    s2 = run_pipeline(spark, workdir, **{**ARGS, "seed": 12})
+    assert not any(st["skipped"] for st in s2["stages"].values())

@@ -1,0 +1,91 @@
+"""Retention (mask nulling + TTL) and skew (salted two-phase agg) tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pneuma_treatment_spark.io.tableio import TableIO
+from pneuma_treatment_spark.operators.retention import apply_interval_mask, ttl_sql_predicate
+from pneuma_treatment_spark.operators.rollup import rollup_raw, with_turn_metrics
+from pneuma_treatment_spark.operators.skew import salted_agg
+
+
+def test_interval_mask_nulling(spark):
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, m), float(m)) for m in range(10)
+    ] + [("b", dt.datetime(2024, 1, 1, 0, m), float(m)) for m in range(10)]
+    df = spark.createDataFrame(rows, "conv_id string, bucket_ts timestamp, token_rate double")
+    mask = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 0, 2), dt.datetime(2024, 1, 1, 0, 5)),
+            ("a", dt.datetime(2024, 1, 1, 0, 8), dt.datetime(2024, 1, 1, 0, 9)),
+        ],
+        "conv_id string, start_ts timestamp, end_ts timestamp",
+    )
+    out = apply_interval_mask(df, mask, metric_cols=("token_rate",)).toPandas()
+    a = out[out.conv_id == "a"].set_index(out[out.conv_id == "a"].bucket_ts.dt.minute)
+    # half-open [start, end): minutes 2,3,4 and 8 observed; 5 and 9 not
+    assert set(a.index[a.is_observed]) == {2, 3, 4, 8}
+    assert a.loc[3, "token_rate"] == 3.0
+    assert pd.isna(a.loc[6, "token_rate"])
+    # key 'b' has no intervals → fully nulled but rows kept
+    b = out[out.conv_id == "b"]
+    assert len(b) == 10 and b["token_rate"].isna().all()
+    # drop mode removes unobserved rows
+    dropped = apply_interval_mask(
+        df, mask, metric_cols=("token_rate",), remove_filtered=True
+    )
+    assert dropped.count() == 4
+
+
+def test_interval_mask_preserves_rowcount(spark, transcripts_df):
+    tier = rollup_raw(with_turn_metrics(transcripts_df), "1h")
+    mask = tier.groupBy("conv_id").agg(
+        F.min("bucket_ts").alias("start_ts"),
+        F.max("bucket_ts").alias("end_ts"),  # half-open: max bucket excluded
+    )
+    out = apply_interval_mask(tier, mask)
+    assert out.count() == tier.count()
+
+
+def test_ttl_delete(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "t"))
+    rows = [
+        ("c1", dt.datetime(2024, 1, d, 12, 0), 1.0) for d in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, v double")
+    io.write(df, "tier")
+    io.delete_where("tier", ttl_sql_predicate(ttl_days=5, now_date="2024-01-20"))
+    left = io.read("tier").toPandas()
+    assert len(left) == 6  # days 15..20 survive (p_day >= now - 5)
+    assert left["ts"].dt.day.min() == 15
+
+
+def test_salted_agg_exact(spark, transcripts_df):
+    m = with_turn_metrics(transcripts_df)
+    plain = (
+        m.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("token_count").alias("tok"),
+            F.max("turn_idx").alias("mx"),
+        )
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    salted = (
+        salted_agg(
+            m,
+            ["conv_id"],
+            {"n": ("*", "count"), "tok": ("token_count", "sum"), "mx": ("turn_idx", "max")},
+            salt_buckets=16,
+        )
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted[plain.columns], check_dtype=False)
