@@ -1,0 +1,247 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data pipeline operators over a documents table (doc_id, text).
+All hashing is JVM-side (``xxhash64`` / ``md5`` column expressions) — no
+Python in the candidate-generation path; only the final verify step touches
+arrays.
+
+Scale design: exact dedup is one hash-groupBy. Near-dup avoids the O(n²)
+pairwise wall by LSH banding — candidates are pairs sharing a band bucket,
+a self-equi-join on (band, hash) that Spark executes as a shuffle join on a
+high-cardinality key. The verify step re-checks true Jaccard on candidates
+only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one representative (min id) per hash."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .groupBy(F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text."""
+    toks = F.split(normalize_text(col), " ")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array(toks[0])))
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return docs.where(F.col(text_col).isNotNull() & (F.trim(text_col) != "")).withColumn(
+        "shingles", shingles(F.col(text_col), n)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (the oracle path): explode
+    shingles, self-join on shared shingle, count intersections, compute
+    |∩| / (|A|+|B|−|∩|). Quadratic only in documents that actually share a
+    shingle. Use :func:`minhash_pairs` at scale."""
+    s = with_shingles(docs, text_col, n).select(
+        F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("sz")
+    )
+    ex = s.select("id", "sz", F.explode("shingles").alias("sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature: min over shingles of seeded xxhash64."""
+
+    def perm(i: int):
+        # closure factory — a 2-param lambda would receive the element index
+        # as its second arg (pyspark HOF arity dispatch), not the seed
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[perm(i) for i in range(k)])
+
+
+def minhash_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified by exact Jaccard.
+
+    k/bands rows per band tune the S-curve; defaults (32 hashes, 8 bands of
+    4) target thresholds around 0.7-0.9. Candidate generation is an
+    equi-join on (band_idx, band_hash) — no all-pairs shuffle.
+    """
+    rows = k // bands
+    s = with_shingles(docs, text_col, n).select(
+        F.col(id_col).alias("id"),
+        "shingles",
+        F.size("shingles").alias("sz"),
+        minhash_signature(F.col("shingles"), k).alias("sig"),
+    )
+    banded = s.select(
+        "id",
+        "sz",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", b * rows + 1, rows)), b
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sz", "shingles", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        cand.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of token hash bits.
+
+    Expressed with explode + bit arithmetic (JVM-side): for each bit b,
+    sign(sum over tokens of ±1 by token-hash bit b).
+    """
+    toks = docs.where(F.col(text_col).isNotNull() & (F.trim(text_col) != "")).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    # shiftright needs a literal shift → build the per-bit array python-side
+    per_bit = h.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bit"),
+                        F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                        .otherwise(-1)
+                        .alias("w"),
+                    )
+                    for b in range(bits)
+                ]
+            )
+        ).alias("bw"),
+    ).select("id", F.col("bw.bit").alias("bit"), F.col("bw.w").alias("w"))
+    sums = per_bit.groupBy("id", "bit").agg(F.sum("w").alias("s"))
+    sig = sums.groupBy("id").agg(
+        F.sum(
+            # python-API shiftleft needs a literal count; the SQL builtin
+            # takes a column
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, CAST(bit AS INT))")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+    return sig.select(F.col("id").alias(id_col), "simhash")
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidates
+    via 4-block banding (any identical 16-bit block → candidate)."""
+    sig = simhash(docs, **kw)
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", ham).where(ham <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -1,0 +1,108 @@
+"""Dynamic Time Warping between aligned per-key series (W14).
+
+Re-expresses ``/root/reference/src/24dtwDistance.py:30-109``: squared-
+euclidean DP cost matrix, optional Sakoe-Chiba band, distance = sqrt(D[n,m]),
+normalized by mean series length; NaNs dropped before the DP (``:46-50``).
+
+Series per key are short rollup outputs (≤ a few thousand points), so the
+O(n·m) DP runs vectorized-row-at-a-time numpy inside a bucket-grouped pandas
+stage — the distribution axis is the number of keys, exactly the
+embarrassingly-parallel shape the reference runs sequentially.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dtw_distance(a: np.ndarray, b: np.ndarray, band: int | None = None) -> float:
+    """DP distance (24dtwDistance.py:30-93). NaNs dropped first (:46-50)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    a = a[~np.isnan(a)]
+    b = b[~np.isnan(b)]
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return float("nan")
+    INF = np.inf
+    prev = np.full(m + 1, INF)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = np.full(m + 1, INF)
+        lo, hi = 1, m
+        if band is not None:
+            lo = max(1, i - band)
+            hi = min(m, i + band)
+        d = (a[i - 1] - b[lo - 1 : hi]) ** 2
+        # cur[j] = d + min(prev[j-1], prev[j], cur[j-1]) — cur[j-1] forces a
+        # left-to-right scan, but the candidate min(prev[j-1], prev[j]) is
+        # vectorized.
+        cand = np.minimum(prev[lo - 1 : hi], prev[lo:hi + 1])
+        run = INF
+        for jj in range(hi - lo + 1):
+            run = d[jj] + min(cand[jj], run)
+            cur[lo + jj] = run
+        prev = cur
+    return float(np.sqrt(prev[m]))
+
+
+def dtw_normalized(a: np.ndarray, b: np.ndarray, band: int | None = None) -> float:
+    """Distance / mean length (24dtwDistance.py:95-109)."""
+    d = dtw_distance(a, b, band)
+    n = (len(a) + len(b)) / 2.0
+    return d / n if n else float("nan")
+
+
+DTW_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_a", T.IntegerType()),
+        T.StructField("n_b", T.IntegerType()),
+        T.StructField("dtw", T.DoubleType()),
+        T.StructField("dtw_normalized", T.DoubleType()),
+    ]
+)
+
+
+def dtw_compare(
+    truth: DataFrame,
+    model: DataFrame,
+    key: str = "conv_id",
+    time_col: str = "bucket_ts",
+    value_col: str = "token_rate",
+    band: int | None = None,
+    group_buckets: int = 64,
+) -> DataFrame:
+    """Per-key DTW between two series tables."""
+    a = truth.select(key, time_col, F.col(value_col).alias("va"))
+    b = model.select(key, time_col, F.col(value_col).alias("vb"))
+    j = a.join(b, [key, time_col], "full_outer").withColumn(
+        "__g", F.pmod(F.xxhash64(key), F.lit(group_buckets)).cast("int")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in pdf.groupby(key, sort=False):
+            g = g.sort_values(time_col)
+            va = g["va"].to_numpy(np.float64)
+            vb = g["vb"].to_numpy(np.float64)
+            va_c = va[~np.isnan(va)]
+            vb_c = vb[~np.isnan(vb)]
+            rows.append(
+                {
+                    key: k,
+                    "n_a": len(va_c),
+                    "n_b": len(vb_c),
+                    "dtw": dtw_distance(va, vb, band),
+                    "dtw_normalized": dtw_normalized(va_c, vb_c, band),
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in DTW_SCHEMA.fields])
+
+    return j.groupBy("__g").applyInPandas(
+        lambda p: kernel(p.drop(columns="__g")), DTW_SCHEMA
+    )

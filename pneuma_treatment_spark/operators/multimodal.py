@@ -1,0 +1,117 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema, partition-friendly
+layout, Arrow-batched UDF signatures, batch shapes. The actual media decode
+is STUBBED (``decoder=None`` uses a deterministic fake; this container has no
+image/audio libraries): swap ``decoder`` for a real one (PIL/librosa/ffmpeg)
+in deployment — the dataflow does not change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),       # image | audio | video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),     # opaque bytes
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("payload_sha", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synth_media(spark, n: int = 256, seed: int = 5) -> DataFrame:
+    """Deterministic fake media table (for tests)."""
+    def gen(batches):
+        for pdf in batches:
+            rng_rows = []
+            for mid in pdf["id"].to_numpy():
+                rng = np.random.default_rng(seed * 100003 + int(mid))
+                kind = ["image", "audio", "video"][int(mid) % 3]
+                payload = rng.integers(0, 256, rng.integers(64, 2048), dtype=np.uint8).tobytes()
+                rng_rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": kind,
+                        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                        "width": int(rng.integers(16, 512)) if kind != "audio" else None,
+                        "height": int(rng.integers(16, 512)) if kind != "audio" else None,
+                        "duration_ms": int(rng.integers(100, 60000)) if kind != "image" else None,
+                        "payload": payload,
+                    }
+                )
+            yield pd.DataFrame(rng_rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _fake_decode(kind: str, payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic decode stub: feature = normalized byte histogram folded
+    to ``dim``. Replace with a real decoder in deployment."""
+    if payload is None:
+        raise NotImplementedError("real media decode requires PIL/librosa/ffmpeg")
+    hist = np.bincount(np.frombuffer(payload, dtype=np.uint8), minlength=256).astype(np.float64)
+    folded = hist.reshape(dim, 256 // dim).sum(axis=1)
+    n = np.linalg.norm(folded)
+    return (folded / n if n else folded).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 32, decoder=None, batch_note: bool = True
+) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow batches of whole rows —
+    payloads stay binary end-to-end, never hit the driver)."""
+    decode = decoder or _fake_decode
+
+    def run(batches):
+        for pdf in batches:
+            feats, shas, nbytes = [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                shas.append(hashlib.sha256(b).hexdigest()[:16])
+                nbytes.append(len(b))
+                feats.append(decode(kind, b, dim))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": nbytes,
+                    "payload_sha": shas,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts_ms) —
+    the explode is JVM-side; the (stubbed) per-frame decode would run in
+    extract_features over the planned rows."""
+    vids = media.where(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

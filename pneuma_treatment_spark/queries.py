@@ -531,3 +531,395 @@ def treatment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "conv_id", "turn_idx", "sg_tokens", "med_tokens", "is_anomaly", "g_ns", "g_na"
     )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation metrics (A9/A10/A11) — int-exact formulations
+# ---------------------------------------------------------------------------
+
+@query(
+    "error_metrics",
+    f"""
+    WITH s AS (
+      SELECT user_id, {_CENTS_SQL} AS c,
+             lag({_CENTS_SQL}) OVER w AS m,
+             {_CENTS_SQL} - lag({_CENTS_SQL}) OVER w AS dt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n,
+           sum(abs(c - m)) AS abs_err_sum,
+           sum((c - m) * (c - m)) AS sq_err_sum
+    FROM s WHERE m IS NOT NULL GROUP BY 1
+    """,
+)
+def error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-vs-model error aggregates (A9: 15compare_lane_stats.py:87-128)
+    with a persistence model (previous value). Int sums only — MAE/RMSE are
+    single divisions/sqrt of these, done by the reader."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = F.lag("cents").over(w)
+    s = e.select("user_id", F.col("cents").alias("c"), m.alias("m")).where(
+        F.col("m").isNotNull()
+    )
+    err = F.col("c") - F.col("m")
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(err)).alias("abs_err_sum"),
+        F.sum(err * err).alias("sq_err_sum"),
+    )
+
+
+@query(
+    "directional_accuracy",
+    f"""
+    WITH s AS (
+      SELECT user_id,
+             {_CENTS_SQL} - lag({_CENTS_SQL}) OVER w AS dt,
+             lag({_CENTS_SQL}) OVER w - lag({_CENTS_SQL}, 2) OVER w AS dm
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS da_n,
+           sum(CASE WHEN sign(dt) = sign(dm) THEN 1 ELSE 0 END) AS da_match
+    FROM s WHERE dt IS NOT NULL AND dm IS NOT NULL GROUP BY 1
+    """,
+)
+def directional_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-match counts of first differences (A10:
+    15compare_lane_stats.py:131-146), persistence model."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.col("cents") - F.lag("cents").over(w)
+    dm = F.lag("cents").over(w) - F.lag("cents", 2).over(w)
+    s = e.select("user_id", dt.alias("dt"), dm.alias("dm")).where(
+        F.col("dt").isNotNull() & F.col("dm").isNotNull()
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("da_n"),
+        F.sum((F.signum("dt") == F.signum("dm")).cast("int")).alias("da_match"),
+    )
+
+
+@query(
+    "f1_report",
+    """
+    WITH l AS (
+      SELECT CASE WHEN value < 5 THEN 'low' WHEN value < 15 THEN 'mid' ELSE 'high' END AS gt,
+             CASE WHEN lag(value) OVER w IS NULL THEN NULL
+                  WHEN lag(value) OVER w < 5 THEN 'low'
+                  WHEN lag(value) OVER w < 15 THEN 'mid' ELSE 'high' END AS pred
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (SELECT gt, pred, count(*) AS n FROM l WHERE pred IS NOT NULL GROUP BY 1, 2),
+    lab AS (SELECT DISTINCT gt AS label FROM c UNION SELECT DISTINCT pred FROM c),
+    tpt AS (SELECT gt AS label, sum(n) AS tp FROM c WHERE gt = pred GROUP BY 1),
+    sup AS (SELECT gt AS label, sum(n) AS support FROM c GROUP BY 1),
+    prd AS (SELECT pred AS label, sum(n) AS predicted FROM c GROUP BY 1)
+    SELECT lab.label,
+           coalesce(tp, 0) AS tp,
+           coalesce(support, 0) AS support,
+           coalesce(predicted, 0) AS predicted,
+           CASE WHEN coalesce(predicted, 0) > 0
+                THEN CAST(coalesce(tp, 0) AS DOUBLE) / predicted ELSE 0.0 END AS precision,
+           CASE WHEN coalesce(support, 0) > 0
+                THEN CAST(coalesce(tp, 0) AS DOUBLE) / support ELSE 0.0 END AS recall,
+           CASE WHEN (CASE WHEN coalesce(predicted, 0) > 0
+                           THEN CAST(coalesce(tp, 0) AS DOUBLE) / predicted ELSE 0.0 END
+                    + CASE WHEN coalesce(support, 0) > 0
+                           THEN CAST(coalesce(tp, 0) AS DOUBLE) / support ELSE 0.0 END) > 0
+                THEN 2 * (CAST(coalesce(tp, 0) AS DOUBLE) / predicted)
+                       * (CAST(coalesce(tp, 0) AS DOUBLE) / support)
+                     / ((CAST(coalesce(tp, 0) AS DOUBLE) / predicted)
+                      + (CAST(coalesce(tp, 0) AS DOUBLE) / support))
+                ELSE 0.0 END AS f1
+    FROM lab LEFT JOIN tpt USING (label) LEFT JOIN sup USING (label)
+             LEFT JOIN prd USING (label)
+    """,
+)
+def f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class P/R/F1 (A11: 23stateFscore.py:431-525) on threshold classes
+    of value vs a persistence prediction."""
+    from pneuma_treatment_spark.operators.metrics import classification_report
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def cls(c):
+        return F.when(c < 5, "low").when(c < 15, "mid").otherwise("high")
+
+    # classify AFTER dropping null-lag rows: when() sends NULL to otherwise()
+    labeled = (
+        e.select(F.col("value").alias("v"), F.lag("value").over(w).alias("pv"))
+        .where(F.col("pv").isNotNull())
+        .select(cls(F.col("v")).alias("gt"), cls(F.col("pv")).alias("pred"))
+    )
+    per, _ = classification_report(labeled)
+    return per
+
+
+@query(
+    "median_value",
+    """
+    SELECT event_type,
+           round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.5), 6) AS med_cents
+    FROM events GROUP BY 1
+    """,
+)
+def median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median (A13/A9 baseline: np.percentile analog)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(cents, 0.5)"), 6).alias("med_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W16 time-shifted union merge
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_time_shifted",
+    """
+    WITH a AS (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+         b AS (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+         off AS (SELECT (SELECT max(us) FROM a) - (SELECT min(us) FROM b) + 60000000 AS o)
+    SELECT event_id, us AS merged_us, 'base' AS segment FROM a
+    UNION ALL
+    SELECT b.event_id, b.us + off.o AS merged_us, 'shifted' AS segment FROM b, off
+    """,
+)
+def merge_time_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment append with time offset (W16:
+    11merge_time_periods_with_mask.py:36-136): segment B is shifted to start
+    one minute after segment A ends, then unioned."""
+    e = _load(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    a = e.where(F.col("event_type") == "view").select("event_id", "us")
+    b = e.where(F.col("event_type") == "click").select("event_id", "us")
+    off = a.agg(F.max("us").alias("amax")).crossJoin(b.agg(F.min("us").alias("bmin")))
+    off = off.select((F.col("amax") - F.col("bmin") + 60_000_000).alias("o"))
+    base = a.select("event_id", F.col("us").alias("merged_us"), F.lit("base").alias("segment"))
+    shifted = b.crossJoin(F.broadcast(off)).select(
+        "event_id", (F.col("us") + F.col("o")).alias("merged_us"), F.lit("shifted").alias("segment")
+    )
+    return base.unionByName(shifted)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis + near-dup (oracle-backed)
+# ---------------------------------------------------------------------------
+
+@query(
+    "language_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','of','to','and','in','is','for','on','with'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(
+               ['der','die','das','und','ist','nicht','ein','mit','für','von'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(
+               ['le','la','les','de','et','est','un','une','pour','dans'], x))) AS s_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language heuristic (text-analysis op)."""
+    from pneuma_treatment_spark.operators.textstats import language_id
+
+    d = _load(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang_pred")
+
+
+@query(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(text)) AS content_hash,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS token_set_hash
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprints (text-analysis op)."""
+    from pneuma_treatment_spark.operators.textstats import fingerprint
+
+    return fingerprint(_load(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [toks[1]] END AS shingles
+      FROM d
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, inter, sz_a, sz_b,
+           CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
+    FROM pairs WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup pairs (the verifiable dedup path;
+    minhash_pairs is the approximate scale path, tested in pytest)."""
+    from pneuma_treatment_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible additions (rows-only driver check; exactness covered
+# by pytest against operator-level expectations)
+# ---------------------------------------------------------------------------
+
+@query("state_estimate", None)
+def state_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Future-window slope-voting state classifier (W11) over per-type
+    minute rollups."""
+    from pneuma_treatment_spark.operators.state import estimate_states
+
+    r = rollup_1m(spark, sf_dir).withColumnRenamed("event_type", "conv_id")
+    return estimate_states(
+        r, value_col="value_sum", low=50.0, high=500.0
+    ).select("conv_id", "bucket_ts", "value_sum", "state")
+
+
+@query("transition_events", None)
+def transition_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-transition event stream (W12)."""
+    from pneuma_treatment_spark.operators.state import estimate_states, transition_events
+
+    r = rollup_1m(spark, sf_dir).withColumnRenamed("event_type", "conv_id")
+    st = estimate_states(r, value_col="value_sum", low=50.0, high=500.0)
+    return transition_events(st)
+
+
+@query("dtw_persistence", None)
+def dtw_persistence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance (W14) between each user's value series and its 1-step
+    persistence forecast."""
+    from pneuma_treatment_spark.operators.dtw import dtw_compare
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("bucket_ts"),
+        F.col("value").alias("token_rate"),
+    )
+    model = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("bucket_ts"),
+        F.lag("value").over(w).alias("token_rate"),
+    )
+    return dtw_compare(base, model, band=64)
+
+
+@query("minhash_pairs", None)
+def minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (approximate; exact recall checked in
+    tests/test_dedup.py against ngram_jaccard_pairs)."""
+    from pneuma_treatment_spark.operators.dedup import minhash_pairs
+
+    return minhash_pairs(_load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query("simhash_pairs", None)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance."""
+    from pneuma_treatment_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_load(spark, sf_dir, "documents"), max_hamming=16)
+
+
+@query("lsh_topk", None)
+def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (scale path of knn_cosine;
+    recall vs brute force checked in tests/test_similarity.py)."""
+    from pneuma_treatment_spark.operators.similarity import (
+        lsh_topk,
+        random_hyperplanes,
+        with_lsh_bucket,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    planes = random_hyperplanes(len(qvec), n_planes=8, seed=7)
+    bucketed = with_lsh_bucket(emb, planes)
+    return lsh_topk(bucketed, [float(v) for v in qvec], planes, k=10)
+
+
+@query("event_match_metrics", None)
+def event_match_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy nearest event matching TP/FN/FP + delay (W13/A12)."""
+    from pneuma_treatment_spark.operators.metrics import match_events
+    from pneuma_treatment_spark.operators.state import estimate_states, transition_events
+
+    r = rollup_1m(spark, sf_dir).withColumnRenamed("event_type", "conv_id")
+    st = estimate_states(r, value_col="value_sum", low=50.0, high=500.0)
+    ev = transition_events(st)
+    # model events: same pipeline on the 3-minute-shifted series
+    shifted = st.withColumn("bucket_ts", F.col("bucket_ts") + F.expr("INTERVAL 3 MINUTES"))
+    ev2 = transition_events(shifted)
+    return match_events(ev, ev2, max_delay=600)
+
+
+@query("gap_fill_events", None)
+def gap_fill_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid gap-fill (W10/W15) over per-user event sequences."""
+    from pneuma_treatment_spark.operators.gapfill import gap_fill
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.col("ts"),
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("token_count"),
+        F.col("event_type").alias("role"),
+    )
+    return gap_fill(series, lerp_cols=("token_count",), lerp_ts_cols=("ts",))
+
+
+@query("multimodal_features", None)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column multimodal plumbing: synth media → feature extraction
+    (decode stubbed — deterministic fake; Spark dataflow is real)."""
+    from pneuma_treatment_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, n=64))

@@ -1,0 +1,101 @@
+"""Dedup (exact / ngram / minhash / simhash) and similarity-search tests on
+planted duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pneuma_treatment_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest looking for food and water"
+    )
+    near = base.replace("green", "dark")          # 1-word change → high jaccard
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, near),                                  # near dup of 1
+        (4, "completely different text about spark sql engines and shuffles"),
+        (5, "completely different text about spark sql engines and shuffles"),  # dup of 4
+        (6, "unrelated short snippet"),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r for r in dedup.exact_dedup(docs).collect()}
+    assert out[1]["dup_cnt"] == 2 and out[1]["doc_ids"] == [1, 2]
+    assert out[4]["dup_cnt"] == 2
+    assert out[3]["dup_cnt"] == 1
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_recall_vs_exact(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_pairs(docs, threshold=0.5).collect()
+    }
+    # verified-by-exact-jaccard LSH output ⊆ exact pairs; recall on planted dups
+    assert mh <= exact
+    assert (1, 2) in mh  # identical docs always collide in every band
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0      # identical text → identical simhash
+    assert pairs[(4, 5)] == 0
+    assert (1, 3) in pairs         # one-word change → small hamming distance
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 1, (4, 16))
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        v = c + rng.normal(0, 0.05, 16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(emb):
+    pdf = emb.toPandas()
+    q = np.array(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    M = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    sims = M @ q / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = [int(pdf["vec_id"].iloc[i]) for i in np.argsort(-sims) if pdf["vec_id"].iloc[i] != 0]
+    got = [r["vec_id"] for r in
+           similarity.cosine_topk(emb, list(q), k=10, exclude_id=0).collect()]
+    assert set(got) == set(order[:10])
+
+
+def test_lsh_topk_recall(emb):
+    pdf = emb.toPandas()
+    q = [float(x) for x in pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0]]
+    planes = similarity.random_hyperplanes(16, n_planes=6, seed=7)
+    bucketed = similarity.with_lsh_bucket(emb, planes)
+    approx = {r["vec_id"] for r in similarity.lsh_topk(bucketed, q, planes, k=10).collect()}
+    brute = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10, exclude_id=0).collect()}
+    # same-cluster vectors share the bucket with high probability
+    assert len(approx & brute) >= 5

@@ -1,0 +1,117 @@
+"""State estimation (W11/W12), comparison metrics (A9-A11), event matching
+(W13) and DTW (W14) against hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from pneuma_treatment_spark.operators.dtw import dtw_compare, dtw_distance
+from pneuma_treatment_spark.operators.metrics import (
+    classification_report,
+    compare_series,
+    match_events,
+)
+from pneuma_treatment_spark.operators.state import (
+    DISSIPATING,
+    FORMING,
+    FREE_FLOW,
+    QUEUED,
+    SATURATED,
+    estimate_states,
+    transition_events,
+)
+
+
+def _series(spark, vals, conv="c1"):
+    rows = [
+        (conv, dt.datetime(2024, 1, 1, 0, i), None if v is None else float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "conv_id string, bucket_ts timestamp, token_rate double")
+
+
+def test_estimate_states_thresholds(spark):
+    df = _series(spark, [10.0, 0.1, None, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0])
+    out = {r["bucket_ts"].minute: r["state"] for r in
+           estimate_states(df, low=0.5, high=5.0).collect()}
+    assert out[0] == FREE_FLOW        # > high
+    assert out[1] == QUEUED           # < low
+    assert out[2] == FREE_FLOW        # null → FREE (22stateEstimate.py:97-99)
+    assert out[5] == SATURATED        # flat mid-band → SATURATED
+
+
+def test_estimate_states_slope_voting(spark):
+    falling = _series(spark, [3.0, 2.8, 2.6, 2.4, 2.2, 2.0, 1.8, 1.6])
+    out = estimate_states(falling, low=0.5, high=5.0, slope_thr=0.05).collect()
+    assert out[0]["state"] == FORMING
+    rising = _series(spark, [1.0, 1.2, 1.4, 1.6, 1.8, 2.0, 2.2, 2.4])
+    out = estimate_states(rising, low=0.5, high=5.0, slope_thr=0.05).collect()
+    assert out[0]["state"] == DISSIPATING
+
+
+def test_transition_events(spark):
+    df = _series(spark, [10.0, 10.0, 0.1, 0.1, 10.0])
+    st = estimate_states(df, low=0.5, high=5.0)
+    ev = transition_events(st).orderBy("bucket_ts").collect()
+    assert [e["event_type"] for e in ev] == ["TO_CONGESTION", "TO_FREE_FLOW"]
+    assert ev[0]["bucket_ts"].minute == 2 and ev[1]["bucket_ts"].minute == 4
+
+
+def test_compare_series_hand_values(spark):
+    truth = _series(spark, [1.0, 2.0, 3.0, 4.0])
+    model = _series(spark, [1.5, 2.0, 2.5, 5.0])
+    r = compare_series(truth, model).collect()[0]
+    errs = np.array([0.5, 0.0, -0.5, 1.0])
+    assert r["n_points"] == 4
+    assert r["mae"] == round(np.abs(errs).mean(), 6)
+    assert r["rmse"] == round(float(np.sqrt((errs**2).mean())), 6)
+    # DA: truth diffs all +1 → signs +; model diffs 0.5,0.5,2.5 → signs + → 3/3
+    assert r["da"] == 1.0
+    # baseline = |t - median(t)| mean = mean(1.5,0.5,0.5,1.5)=1.0 → rss = 1-0.5
+    assert r["rss"] == 0.5
+
+
+def test_classification_report(spark):
+    pairs = [("a", "a")] * 5 + [("a", "b")] * 2 + [("b", "b")] * 3 + [("b", "a")] * 1
+    df = spark.createDataFrame(pairs, "gt string, pred string")
+    per, summary = classification_report(df)
+    p = {r["label"]: r for r in per.collect()}
+    assert p["a"]["tp"] == 5 and p["a"]["support"] == 7 and p["a"]["predicted"] == 6
+    assert p["a"]["precision"] == 5 / 6 and p["a"]["recall"] == 5 / 7
+    s = summary.collect()[0]
+    assert s["accuracy"] == 8 / 11
+
+
+def test_match_events_greedy(spark):
+    def ev(ts_list):
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [("c1", "T", base + dt.timedelta(seconds=t)) for t in ts_list],
+            "conv_id string, event_type string, bucket_ts timestamp",
+        )
+
+    gt = ev([10, 100, 200])
+    pred = ev([12, 95, 500])  # two matches within ±30s, one FP, one FN
+    r = match_events(gt, pred, max_delay=30).collect()[0]
+    assert (r["tp"], r["fn"], r["fp"]) == (2, 1, 1)
+    assert r["mean_abs_delay"] == pytest.approx((2 + 5) / 2)
+
+
+def test_dtw_known_values():
+    a = np.array([0.0, 1.0, 2.0])
+    assert dtw_distance(a, a) == 0.0
+    # classic small case: warping absorbs the repeated element
+    d = dtw_distance(np.array([1.0, 2.0, 3.0]), np.array([1.0, 2.0, 2.0, 3.0]))
+    assert d == 0.0
+    d2 = dtw_distance(np.array([1.0, 1.0]), np.array([2.0, 2.0]))
+    assert d2 == pytest.approx(np.sqrt(1 + 1 + 0) if False else np.sqrt(2.0))
+
+
+def test_dtw_compare_spark(spark):
+    t = _series(spark, [1.0, 2.0, 3.0, 2.0, 1.0])
+    m = _series(spark, [1.0, 2.0, 3.0, 2.0, 1.0])
+    r = dtw_compare(t, m).collect()[0]
+    assert r["dtw"] == 0.0 and r["dtw_normalized"] == 0.0
