@@ -29,7 +29,12 @@ HEADLINE = [
     "asof_next_type",
     "transition_counts",
     "interval_mask_counts",
+    "gap_fill_oracle",
+    "anomaly_run_merge",
+    "error_metrics",
+    "salted_agg_user",
     "dedup_exact",
+    "simhash_pairs",
     "quality_score",
     "knn_cosine",
     "treatment_pipeline",

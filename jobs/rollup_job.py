@@ -51,6 +51,8 @@ def run_pipeline(
     input_table: str | None = None,
     ttl_now: str | None = None,
     stop_after: str | None = None,
+    n_buckets: int = 8,
+    stats: str = "full",
 ) -> dict:
     """Run (or resume) the full pipeline; returns a stage→metrics summary.
 
@@ -59,9 +61,10 @@ def run_pipeline(
     after (used by the resume test to simulate a mid-job kill).
     """
     cfg = cfg or TreatmentConfig()
-    io = TableIO(spark, workdir)
+    io = TableIO(spark, workdir, n_buckets=n_buckets)
     runner = PipelineRunner(
         io,
+        stats=stats,
         config={
             "n_convs": n_convs,
             "seed": seed,
@@ -166,6 +169,8 @@ def main() -> None:
     ap.add_argument("--no-chunked", action="store_true")
     ap.add_argument("--input-table", default=None)
     ap.add_argument("--ttl-now", default=None)
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--stats", default="full", choices=["full", "fast"])
     args = ap.parse_args()
 
     from pneuma_treatment_spark.session import get_spark
@@ -184,6 +189,8 @@ def main() -> None:
         chunked=not args.no_chunked,
         input_table=args.input_table,
         ttl_now=args.ttl_now,
+        n_buckets=args.buckets,
+        stats=args.stats,
     )
     summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
     summary["turns"] = summary["stages"]["ingest"]["rows"]

@@ -99,8 +99,9 @@ def _encode_ts(ts: np.ndarray) -> tuple[bytes, bytes]:
         return head, b""
     deltas = np.diff(ts.astype(np.int64))
     dod = np.diff(deltas)
-    codes = np.zeros(len(dod), dtype=np.uint64)
-    lens = np.ones(len(dod), dtype=np.int64)  # default class '0' (dod==0)
+    n = len(dod)
+    codes = np.zeros(n, dtype=np.uint64)
+    lens = np.ones(n, dtype=np.int64)  # default class '0' (dod==0)
     done = dod == 0
     for bound, off, pay, pre, prelen in zip(
         _TS_BOUNDS, _TS_OFFS, _TS_PAYLOAD, _TS_PREFIX, _TS_PREFIX_LEN
@@ -110,24 +111,20 @@ def _encode_ts(ts: np.ndarray) -> tuple[bytes, bytes]:
         lens[sel] = prelen + pay
         done |= sel
     rest = ~done
-    # 4-bit prefix + 64-bit payload won't fit one uint64 code; split into two
-    # entries: prefix code then raw payload.
-    if rest.any():
-        idx = np.flatnonzero(rest)
-        # interleave: build expanded arrays
-        codes_list, lens_list = [], []
-        last = 0
-        for i in idx:
-            codes_list.append(codes[last:i])
-            lens_list.append(lens[last:i])
-            codes_list.append(np.array([0b1111, dod[i].astype(np.uint64)], dtype=np.uint64))
-            lens_list.append(np.array([4, 64], dtype=np.int64))
-            last = i + 1
-        codes_list.append(codes[last:])
-        lens_list.append(lens[last:])
-        codes = np.concatenate(codes_list)
-        lens = np.concatenate(lens_list)
-    return head, _pack_codes(codes, lens)
+    # 4-bit prefix + 64-bit raw payload won't fit one uint64 code → the
+    # escape class occupies TWO pack entries; scatter-build (vectorized).
+    n_entries = n + int(rest.sum())
+    starts = np.concatenate([[0], np.cumsum(np.where(rest, 2, 1))])[:-1]
+    out_codes = np.zeros(n_entries, dtype=np.uint64)
+    out_lens = np.empty(n_entries, dtype=np.int64)
+    out_codes[starts] = codes
+    out_lens[starts] = lens
+    s_r = starts[rest]
+    out_codes[s_r] = 0b1111
+    out_lens[s_r] = 4
+    out_codes[s_r + 1] = dod[rest].astype(np.uint64)
+    out_lens[s_r + 1] = 64
+    return head, _pack_codes(out_codes, out_lens)
 
 
 def _decode_ts(head: bytes, payload: bytes) -> np.ndarray:
@@ -172,35 +169,35 @@ def _encode_vals(vals: np.ndarray) -> tuple[bytes, bytes]:
     xor = bits[1:] ^ bits[:-1]
     nz = xor != 0
     # leading/trailing zero counts (vectorized via bit tricks)
-    lead = 64 - _bit_length_u64(xor)
-    trail = _trailing_zeros_u64(xor)
-    mlen = np.where(nz, 64 - lead - trail, 0)  # meaningful bits
+    lead = (64 - _bit_length_u64(xor)).astype(np.uint64)
+    trail = _trailing_zeros_u64(xor).astype(np.uint64)
+    mlen = np.where(nz, 64 - lead - trail, 0).astype(np.uint64)
 
-    # Window reuse depends on the previous non-zero encode (sequential
-    # state); emit control bits and payload as separate pack entries so no
-    # single code can exceed 64 bits. Zero-xor points are a single '0' bit.
-    codes: list[int] = []
-    lens: list[int] = []
-    cur_lead, cur_mlen = -1, -1
-    for i in range(len(xor)):
-        if not nz[i]:
-            codes.append(0)
-            lens.append(1)
-            continue
-        li, ti, mi, x = int(lead[i]), int(trail[i]), int(mlen[i]), int(xor[i])
-        prev_trail = 64 - cur_lead - cur_mlen
-        if cur_lead >= 0 and li >= cur_lead and ti >= prev_trail:
-            # fits previous window: '10' + prev_mlen payload bits
-            payload = (x >> prev_trail) & ((1 << cur_mlen) - 1)
-            codes.extend((0b10, payload))
-            lens.extend((2, cur_mlen))
-        else:
-            # new window: '11' + 6b lead + 6b (mlen-1) + mlen payload bits
-            payload = x >> ti
-            codes.extend((0b11, li, mi - 1, payload))
-            lens.extend((2, 6, 6, mi))
-            cur_lead, cur_mlen = li, mi
-    return head, _pack_codes(np.array(codes, dtype=np.uint64), np.array(lens, dtype=np.int64))
+    # Fully vectorized: this encoder always emits the explicit-window form
+    # ('11' + 6b lead + 6b len-1 + payload) for changed values and '0' for
+    # repeats — it never emits the paper's '10' previous-window-reuse case
+    # (the decoder still accepts it), trading ≤12 bits per changed point for
+    # a branch-free numpy encode. Control bits and payload are separate pack
+    # entries so no single code exceeds 64 bits.
+    n_entries = int(nz.sum()) * 4 + int((~nz).sum())
+    out_codes = np.zeros(n_entries, dtype=np.uint64)
+    out_lens = np.empty(n_entries, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(np.where(nz, 4, 1))])[:-1]
+    # zero-xor points: single '0' bit (code already 0)
+    out_lens[starts[~nz]] = 1
+    # changed points: 4 consecutive entries
+    s_nz = starts[nz]
+    payload = xor[nz] >> trail[nz]
+    cols = (
+        (np.full(len(s_nz), 0b11, dtype=np.uint64), np.full(len(s_nz), 2)),
+        (lead[nz], np.full(len(s_nz), 6)),
+        (mlen[nz] - np.uint64(1), np.full(len(s_nz), 6)),
+        (payload, mlen[nz].astype(np.int64)),
+    )
+    for j, (c, ln) in enumerate(cols):
+        out_codes[s_nz + j] = c
+        out_lens[s_nz + j] = ln
+    return head, _pack_codes(out_codes, out_lens)
 
 
 def _decode_vals(n: int, head: bytes, payload: bytes) -> np.ndarray:

@@ -175,8 +175,13 @@ def match_events(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for (k, t), grp in pdf.groupby([key, type_col], sort=False):
-            gt_ts = sorted(pd.to_datetime(grp.loc[grp.__side == "gt", "gt_ts"]).astype("int64") // 10**9)
-            pr_ts = sorted(pd.to_datetime(grp.loc[grp.__side == "pred", "gt_ts"]).astype("int64") // 10**9)
+            def secs(side):
+                s = pd.to_datetime(grp.loc[grp.__side == side, "gt_ts"])
+                # unit-explicit: Arrow may hand us datetime64[us] or [ns]
+                return sorted(s.astype("datetime64[us]").astype("int64") // 10**6)
+
+            gt_ts = secs("gt")
+            pr_ts = secs("pred")
             match: dict[int, int] = {}  # gt index -> pred index
             dist: dict[int, float] = {}
             for pi, pt in enumerate(pr_ts):

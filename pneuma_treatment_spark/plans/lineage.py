@@ -39,9 +39,14 @@ class StageResult:
 
 
 class PipelineRunner:
-    def __init__(self, io: TableIO, config: dict | None = None):
+    def __init__(self, io: TableIO, config: dict | None = None, stats: str = "full"):
+        # stats: "full" collects per-partition row counts into the manifest
+        # (the lineage contract); "fast" records total rows only (parquet
+        # footer metadata count — used by throughput benches where the extra
+        # per-stage count job is measurable overhead).
         self.io = io
         self.config = config or {}
+        self.stats = stats
         self.manifest_dir = Path(io.root) / "_manifest"
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         self._sigs: dict[str, str] = {}
@@ -99,12 +104,12 @@ class PipelineRunner:
         )
         out = self.io.read(name)
         parts: dict[str, int] = {}
-        if partitioned and "p_day" in out.columns:
+        if self.stats == "full" and partitioned and "p_day" in out.columns:
             for r in out.groupBy("p_day").count().collect():
                 parts[str(r["p_day"])] = r["count"]
             rows = sum(parts.values())
         else:
-            rows = out.count()
+            rows = out.count()  # parquet metadata-only count
         wall = time.perf_counter() - t0
         mpath.write_text(
             json.dumps(

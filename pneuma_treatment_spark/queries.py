@@ -923,3 +923,187 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pneuma_treatment_spark.operators.multimodal import extract_features, synth_media
 
     return extract_features(synth_media(spark, n=64))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-backed gap-fill, anomaly run-merge, salted agg
+# ---------------------------------------------------------------------------
+
+@query(
+    "gap_fill_oracle",
+    f"""
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+             epoch_us(ts) AS us,
+             CASE WHEN event_id % 7 <> 0 THEN {_CENTS_SQL} END AS v,
+             event_type AS role, event_id
+      FROM events
+    ),
+    sp AS (SELECT * FROM s WHERE event_id % 11 <> 3),
+    grid AS (
+      SELECT conv_id, unnest(range(min(turn_idx), max(turn_idx) + 1)) AS turn_idx
+      FROM sp GROUP BY conv_id
+    ),
+    j AS (
+      SELECT g.conv_id, g.turn_idx, sp.us, sp.v, sp.role,
+             sp.turn_idx IS NULL AS is_filled
+      FROM grid g LEFT JOIN sp ON g.conv_id = sp.conv_id AND g.turn_idx = sp.turn_idx
+    ),
+    f AS (
+      SELECT *,
+             last_value(role IGNORE NULLS) OVER wf AS f_role,
+             first_value(role IGNORE NULLS) OVER wb AS b_role,
+             last_value(v IGNORE NULLS) OVER wf AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN turn_idx END IGNORE NULLS) OVER wf AS pi,
+             first_value(v IGNORE NULLS) OVER wb AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN turn_idx END IGNORE NULLS) OVER wb AS ni,
+             last_value(us IGNORE NULLS) OVER wf AS pus,
+             last_value(CASE WHEN us IS NOT NULL THEN turn_idx END IGNORE NULLS) OVER wf AS pui,
+             first_value(us IGNORE NULLS) OVER wb AS nus,
+             first_value(CASE WHEN us IS NOT NULL THEN turn_idx END IGNORE NULLS) OVER wb AS nui
+      FROM j
+      WINDOW wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT conv_id, turn_idx, is_filled,
+           coalesce(f_role, b_role) AS role,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                ELSE CAST(pv AS DOUBLE)
+                   + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                     * (CAST(turn_idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+           END AS token_count,
+           CAST(floor(
+             CASE WHEN us IS NOT NULL THEN CAST(us AS DOUBLE)
+                  WHEN pus IS NULL THEN CAST(nus AS DOUBLE)
+                  WHEN nus IS NULL THEN CAST(pus AS DOUBLE)
+                  ELSE CAST(pus AS DOUBLE)
+                     + (CAST(nus AS DOUBLE) - CAST(pus AS DOUBLE))
+                       * (CAST(turn_idx - pui AS DOUBLE) / CAST(nui - pui AS DOUBLE))
+             END + 0.5) AS BIGINT) AS ts_us
+    FROM f
+    """,
+)
+def gap_fill_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship gap-fill kernel (W10/W15) under the driver's SQL oracle:
+    dense grid + ffill(role) + lerp(value, ts), per-user event series with
+    every 7th value nulled. The DuckDB twin mirrors the exact window
+    algebra, so values must match bit-for-bit."""
+    from pneuma_treatment_spark.operators.gapfill import gap_fill
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.col("ts"),
+        F.when(F.col("event_id") % 7 != 0, F.col("cents")).alias("token_count"),
+        F.col("event_type").alias("role"),
+        "event_id",
+    ).where(F.col("event_id") % 11 != 3)  # real turn_idx gaps → densify inserts rows
+    out = gap_fill(series, lerp_cols=("token_count",), lerp_ts_cols=("ts",))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "is_filled",
+        "role",
+        "token_count",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+@query(
+    "anomaly_run_merge",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts, {_CENTS_SQL} AS c,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+      FROM events
+    ),
+    med AS (
+      SELECT *, median(c) OVER (PARTITION BY user_id ORDER BY i
+                                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS m
+      FROM s
+    ),
+    raw AS (SELECT *, abs(c - m) >= 800 AS raw_anomaly FROM med),
+    ext AS (
+      SELECT *,
+             max(CASE WHEN raw_anomaly THEN i END) OVER
+               (PARTITION BY user_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_a,
+             min(CASE WHEN raw_anomaly THEN i END) OVER
+               (PARTITION BY user_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_a
+      FROM raw
+    )
+    SELECT event_id, raw_anomaly,
+           raw_anomaly OR (prev_a IS NOT NULL AND next_a IS NOT NULL
+                           AND next_a - prev_a - 1 < 10) AS is_anomaly
+    FROM ext
+    """,
+)
+def anomaly_run_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance mask + run merge (W8: processor.py:302-304,366-371,382-399)
+    in pure SQL: rolling-median reconstruction, |x−recon| ≥ tol mask, and
+    clean gaps shorter than 10 between runs become anomalous."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_id", "user_id", "ts", F.col("cents").alias("c"),
+        (F.row_number().over(w) - 1).alias("i"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("i")
+    med = s.withColumn(
+        "m", F.expr("percentile(c, 0.5)").over(wi.rowsBetween(-2, 2))
+    )
+    raw = med.withColumn("raw_anomaly", F.abs(F.col("c") - F.col("m")) >= 800)
+    anom_i = F.when(F.col("raw_anomaly"), F.col("i"))
+    ext = raw.withColumn(
+        "prev_a",
+        F.max(anom_i).over(wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).withColumn(
+        "next_a",
+        F.min(anom_i).over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("i").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return ext.select(
+        "event_id",
+        "raw_anomaly",
+        (
+            F.col("raw_anomaly")
+            | (
+                F.col("prev_a").isNotNull()
+                & F.col("next_a").isNotNull()
+                & ((F.col("next_a") - F.col("prev_a") - 1) < 10)
+            )
+        ).alias("is_anomaly"),
+    )
+
+
+@query(
+    "salted_agg_user",
+    f"""
+    SELECT user_id, count(*) AS n, sum({_CENTS_SQL}) AS cents_sum,
+           max({_CENTS_SQL}) AS cents_max
+    FROM events GROUP BY 1
+    """,
+)
+def salted_agg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (north_rule skew handling): the oracle is
+    the PLAIN group-by — exactness of the two-phase path is the assertion."""
+    from pneuma_treatment_spark.operators.skew import salted_agg
+
+    e = _events(spark, sf_dir)
+    return salted_agg(
+        e,
+        ["user_id"],
+        {"n": ("*", "count"), "cents_sum": ("cents", "sum"), "cents_max": ("cents", "max")},
+        salt_buckets=16,
+    )

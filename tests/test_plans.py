@@ -1,0 +1,74 @@
+"""Physical-plan audits: the optimizations we rely on at 100 TB must be
+visible in `.explain` output at any scale — filter/column pushdown into the
+parquet scan, broadcast for small dims, partition pruning on p_day, and
+whole-stage codegen around the hot expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pneuma_treatment_spark import queries as q
+from pneuma_treatment_spark.io.tableio import TableIO
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q.pricing_summary(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    df = q.token_count_docs(spark, SF)
+    plan = _plan(df)
+    # scan must read only doc_id + text, not lang/source/n_chars
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "n_chars" not in read_schema and "source" not in read_schema
+
+
+def test_broadcast_join_for_small_mask(spark):
+    df = q.interval_mask_counts(spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_whole_stage_codegen_on_rollup(spark):
+    df = q.rollup_1m(spark, SF)
+    df.collect()  # AQE finalizes the physical plan on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen spans appear as "*(n)" stage markers in the executed plan
+    assert "*(1)" in plan and "*(2)" in plan
+    # the aggregation must be hash-based, two-phase (map-side partial_)
+    assert "HashAggregate" in plan and "partial_" in plan
+
+
+def test_partition_pruning_on_p_day(spark, transcripts_df, tmp_path):
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write(transcripts_df, "tx")
+    df = io.read("tx").where(F.col("p_day") == "2024-01-05")
+    plan = _plan(df)
+    # pruned partition filter appears as a partition filter, not a data filter
+    assert "PartitionFilters" in plan and "p_day" in plan.split("PartitionFilters", 1)[1][:200]
+    files_scanned = df.count()
+    all_rows = io.read("tx").count()
+    assert files_scanned < all_rows
+
+
+def test_cascade_avoids_extra_shuffle(spark):
+    """1h-from-1m must add exactly one exchange over the 1m agg (the re-key
+    by coarser bucket), not re-read raw twice."""
+    df = q.rollup_1h_cascade(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final + Initial plans; audit the final one only
+    final = plan.split("== Initial Plan ==")[0]
+    # exactly two hash repartitions: raw→(type,1m-bucket), 1m→(type,1h-bucket)
+    assert final.count("Exchange hashpartitioning") == 2
+    assert final.count("FileScan parquet") == 1  # raw scanned once
