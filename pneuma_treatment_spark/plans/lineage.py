@@ -96,20 +96,25 @@ class PipelineRunner:
                 )
                 return self.io.read(name)
 
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         t0 = time.perf_counter()
         df = build(self.io)
+        # Row count rides the write action itself via an Observation — no
+        # second pass over the table (the Iceberg-snapshot-metadata analog).
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         self.io.write(
             df, name, partitioned=partitioned, ts_col=ts_col, key_col=key_col,
             bucketed=bucketed,
         )
+        rows = int(obs.get["rows"])
         out = self.io.read(name)
         parts: dict[str, int] = {}
         if self.stats == "full" and partitioned and "p_day" in out.columns:
             for r in out.groupBy("p_day").count().collect():
                 parts[str(r["p_day"])] = r["count"]
-            rows = sum(parts.values())
-        else:
-            rows = out.count()  # parquet metadata-only count
         wall = time.perf_counter() - t0
         mpath.write_text(
             json.dumps(
