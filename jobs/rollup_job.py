@@ -53,6 +53,8 @@ def run_pipeline(
     stop_after: str | None = None,
     n_buckets: int = 8,
     stats: str = "full",
+    shard_index: int = 0,
+    shard_count: int = 1,
 ) -> dict:
     """Run (or resume) the full pipeline; returns a stage→metrics summary.
 
@@ -85,12 +87,17 @@ def run_pipeline(
         return df
 
     try:
+        first = shard_index * n_convs // shard_count
+        cnt = (shard_index + 1) * n_convs // shard_count - first
         ingest = stage(
             "ingest",
             lambda io: with_turn_metrics(
                 spark.read.parquet(input_table)
                 if input_table
-                else generate_transcripts(spark, n_convs, seed=seed, mega_turns=mega_turns)
+                else generate_transcripts(
+                    spark, cnt, seed=seed, mega_turns=mega_turns,
+                    first_conv=first, total_convs=n_convs,
+                )
             ),
         )
         filled = stage(
@@ -171,6 +178,8 @@ def main() -> None:
     ap.add_argument("--ttl-now", default=None)
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--stats", default="full", choices=["full", "fast"])
+    ap.add_argument("--shard-index", type=int, default=0)
+    ap.add_argument("--shard-count", type=int, default=1)
     args = ap.parse_args()
 
     from pneuma_treatment_spark.session import get_spark
@@ -191,6 +200,8 @@ def main() -> None:
         ttl_now=args.ttl_now,
         n_buckets=args.buckets,
         stats=args.stats,
+        shard_index=args.shard_index,
+        shard_count=args.shard_count,
     )
     summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
     summary["turns"] = summary["stages"]["ingest"]["rows"]

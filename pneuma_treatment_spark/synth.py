@@ -124,10 +124,18 @@ def generate_transcripts(
     mega_turns: int = 0,
     max_turns: int = 400,
     partitions: int | None = None,
+    first_conv: int = 0,
+    total_convs: int | None = None,
 ) -> DataFrame:
-    """Distributed generation: one task per slice of conversation ids."""
+    """Distributed generation: one task per slice of conversation ids.
+
+    ``first_conv``/``total_convs`` select a contiguous shard of a larger
+    deterministic table: shard k of a ``total_convs`` table produces exactly
+    the rows the full generation would for those conversation ids — the
+    data-parallel unit an executor owns in a sharded deployment.
+    """
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 8)
-    sizes = conv_sizes(n_convs, seed, mega_turns, max_turns)
+    sizes = conv_sizes(total_convs or (first_conv + n_convs), seed, mega_turns, max_turns)
     bc_sizes = spark.sparkContext.broadcast(sizes)
 
     def gen(batches):
@@ -135,5 +143,5 @@ def generate_transcripts(
             for conv_idx in pdf["id"].to_numpy():
                 yield _gen_one_conv(seed, int(conv_idx), int(bc_sizes.value[conv_idx]))
 
-    ids = spark.range(0, n_convs, numPartitions=partitions)
+    ids = spark.range(first_conv, first_conv + n_convs, numPartitions=partitions)
     return ids.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
