@@ -105,9 +105,16 @@ def run_pipeline(
             lambda io: gap_fill(ingest, lerp_cols=("token_count",), lerp_ts_cols=("ts",)),
             deps=["ingest"],
         )
+        # The kernels never read text/tool — shuttling the payload columns
+        # through the treatment shuffles would roughly double the stage's
+        # bytes. The treated table is a narrow metric series; text lives in
+        # `filled` and joins back on (conv_id, turn_idx) when needed.
+        narrow = filled.select(
+            "conv_id", "turn_idx", "ts", "role", "token_count", "is_filled"
+        )
         stage(
             "treated",
-            lambda io: treat_transcripts(filled, cfg, chunked=chunked),
+            lambda io: treat_transcripts(narrow, cfg, chunked=chunked),
             deps=["filled"],
         )
         m1 = stage(
