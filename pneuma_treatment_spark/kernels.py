@@ -44,13 +44,28 @@ def rolling_median(x: np.ndarray, window: int = 5) -> np.ndarray:
     SURVEY.md §7.1)."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
-    out = np.empty(n, dtype=np.float64)
     left = window // 2
     right = window - left - 1
-    for i in range(n):
-        lo = max(0, i - left)
-        hi = min(n, i + right + 1)
-        out[i] = np.median(x[lo:hi])
+    if n <= window or np.isnan(x).any():
+        # small series / NaN present: per-window nanmedian (pandas semantics)
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            out[i] = np.nanmedian(x[max(0, i - left) : min(n, i + right + 1)])
+        return out
+    out = np.empty(n, dtype=np.float64)
+    # interior: full windows → median = k-th order statistic via partition
+    # (vectorized O(w) per row; odd windows take one k, even average two)
+    win = np.lib.stride_tricks.sliding_window_view(x, window)
+    if window % 2:
+        out[left : n - right] = np.partition(win, window // 2, axis=1)[:, window // 2]
+    else:
+        part = np.partition(win, [window // 2 - 1, window // 2], axis=1)
+        out[left : n - right] = (part[:, window // 2 - 1] + part[:, window // 2]) / 2.0
+    # edges: shrunken windows (min_periods=1 semantics)
+    for i in range(left):
+        out[i] = np.median(x[: i + right + 1])
+    for i in range(n - right, n):
+        out[i] = np.median(x[i - left :])
     return out
 
 
