@@ -807,7 +807,51 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by pytest against operator-level expectations)
 # ---------------------------------------------------------------------------
 
-@query("state_estimate", None)
+@query(
+    "state_estimate",
+    f"""
+    WITH r AS (
+      SELECT event_type AS conv_id,
+             make_timestamp((({_EPOCH_SQL}//60)*60)*1000000) AS bucket_ts,
+             sum({_CENTS_SQL})/100.0 AS value_sum
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT conv_id, bucket_ts, value_sum,
+             lead(value_sum, 1) OVER w AS v1, lead(value_sum, 2) OVER w AS v2,
+             lead(value_sum, 3) OVER w AS v3, lead(value_sum, 4) OVER w AS v4,
+             lead(value_sum, 5) OVER w AS v5
+      FROM r WINDOW w AS (PARTITION BY conv_id ORDER BY bucket_ts)
+    ),
+    sl AS (
+      SELECT conv_id, bucket_ts, value_sum,
+             v1 - value_sum AS s0, v2 - v1 AS s1, v3 - v2 AS s2,
+             v4 - v3 AS s3, v5 - v4 AS s4
+      FROM l
+    ),
+    v AS (
+      SELECT conv_id, bucket_ts, value_sum,
+             (CASE WHEN s0 < -0.05 THEN 1 ELSE 0 END + CASE WHEN s1 < -0.05 THEN 1 ELSE 0 END
+            + CASE WHEN s2 < -0.05 THEN 1 ELSE 0 END + CASE WHEN s3 < -0.05 THEN 1 ELSE 0 END
+            + CASE WHEN s4 < -0.05 THEN 1 ELSE 0 END) AS n_down,
+             (CASE WHEN s0 > 0.05 THEN 1 ELSE 0 END + CASE WHEN s1 > 0.05 THEN 1 ELSE 0 END
+            + CASE WHEN s2 > 0.05 THEN 1 ELSE 0 END + CASE WHEN s3 > 0.05 THEN 1 ELSE 0 END
+            + CASE WHEN s4 > 0.05 THEN 1 ELSE 0 END) AS n_up,
+             (CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s4 IS NOT NULL THEN 1 ELSE 0 END) AS n_valid
+      FROM sl
+    )
+    SELECT conv_id, bucket_ts, value_sum,
+           CASE WHEN value_sum IS NULL THEN 0
+                WHEN value_sum < 50.0 THEN 4
+                WHEN value_sum > 500.0 THEN 0
+                WHEN n_down >= n_up AND n_down >= (n_valid - n_down - n_up) THEN 1
+                WHEN n_up >= (n_valid - n_down - n_up) THEN 3
+                ELSE 2 END AS state
+    FROM v
+    """,
+)
 def state_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Future-window slope-voting state classifier (W11) over per-type
     minute rollups."""
@@ -819,7 +863,70 @@ def state_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "bucket_ts", "value_sum", "state")
 
 
-@query("transition_events", None)
+@query(
+    "transition_events",
+    f"""
+    WITH r AS (
+      SELECT event_type AS conv_id,
+             make_timestamp((({_EPOCH_SQL}//60)*60)*1000000) AS bucket_ts,
+             sum({_CENTS_SQL})/100.0 AS value_sum
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT conv_id, bucket_ts, value_sum,
+             lead(value_sum, 1) OVER w AS v1, lead(value_sum, 2) OVER w AS v2,
+             lead(value_sum, 3) OVER w AS v3, lead(value_sum, 4) OVER w AS v4,
+             lead(value_sum, 5) OVER w AS v5
+      FROM r WINDOW w AS (PARTITION BY conv_id ORDER BY bucket_ts)
+    ),
+    sl AS (
+      SELECT conv_id, bucket_ts, value_sum,
+             v1 - value_sum AS s0, v2 - v1 AS s1, v3 - v2 AS s2,
+             v4 - v3 AS s3, v5 - v4 AS s4
+      FROM l
+    ),
+    v AS (
+      SELECT conv_id, bucket_ts, value_sum,
+             (CASE WHEN s0 < -0.05 THEN 1 ELSE 0 END + CASE WHEN s1 < -0.05 THEN 1 ELSE 0 END
+            + CASE WHEN s2 < -0.05 THEN 1 ELSE 0 END + CASE WHEN s3 < -0.05 THEN 1 ELSE 0 END
+            + CASE WHEN s4 < -0.05 THEN 1 ELSE 0 END) AS n_down,
+             (CASE WHEN s0 > 0.05 THEN 1 ELSE 0 END + CASE WHEN s1 > 0.05 THEN 1 ELSE 0 END
+            + CASE WHEN s2 > 0.05 THEN 1 ELSE 0 END + CASE WHEN s3 > 0.05 THEN 1 ELSE 0 END
+            + CASE WHEN s4 > 0.05 THEN 1 ELSE 0 END) AS n_up,
+             (CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s4 IS NOT NULL THEN 1 ELSE 0 END) AS n_valid
+      FROM sl
+    )
+    , st AS (
+      SELECT conv_id, bucket_ts,
+             CASE WHEN value_sum IS NULL THEN 0
+                  WHEN value_sum < 50.0 THEN 4
+                  WHEN value_sum > 500.0 THEN 0
+                  WHEN n_down >= n_up AND n_down >= (n_valid - n_down - n_up) THEN 1
+                  WHEN n_up >= (n_valid - n_down - n_up) THEN 3
+                  ELSE 2 END AS state
+      FROM v
+    ),
+    sim AS (
+      SELECT conv_id, bucket_ts,
+             CASE WHEN state = 0 THEN 'FREE' WHEN state = 4 THEN 'QUEUED'
+                  ELSE 'CONGESTED' END AS simple
+      FROM st
+    ),
+    tr AS (
+      SELECT conv_id, bucket_ts, simple,
+             lag(simple) OVER (PARTITION BY conv_id ORDER BY bucket_ts) AS prev_simple
+      FROM sim
+    )
+    SELECT conv_id, bucket_ts, prev_simple, simple,
+           CASE WHEN prev_simple = 'FREE' AND simple IN ('CONGESTED','QUEUED') THEN 'TO_CONGESTION'
+                WHEN prev_simple = 'CONGESTED' AND simple = 'QUEUED' THEN 'TO_CONGESTION'
+                WHEN prev_simple = 'QUEUED' THEN 'TO_FREE_FLOW'
+                ELSE 'OTHER' END AS event_type
+    FROM tr WHERE prev_simple IS NOT NULL AND prev_simple <> simple
+    """,
+)
 def transition_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State-transition event stream (W12)."""
     from pneuma_treatment_spark.operators.state import estimate_states, transition_events
@@ -1107,3 +1214,24 @@ def salted_agg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n": ("*", "count"), "cents_sum": ("cents", "sum"), "cents_max": ("cents", "max")},
         salt_buckets=16,
     )
+
+
+@query(
+    "running_total",
+    f"""
+    SELECT event_id,
+           sum({_CENTS_SQL}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run_cents
+    FROM events
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum per key (W9/W19: trapezoid cumsum /
+    time-space-position analogs — processor.py:375-380, notebook cell 11)."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("event_id", F.sum("cents").over(w).alias("run_cents"))
