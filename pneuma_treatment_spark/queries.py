@@ -24,6 +24,10 @@ SQL: dict[str, str] = {}
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may hand us a session with a non-UTC timezone; NTZ→epoch
+    # conversions (unix_timestamp etc.) are zone-dependent, and the DuckDB
+    # oracle is UTC-naive — pin it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
