@@ -1,0 +1,132 @@
+"""Custom stateful streaming operator: conversation sessionization with
+cross-batch state (``applyInPandasWithState``).
+
+Splits each conv_id's turn stream into sessions separated by inactivity
+gaps ≥ ``gap_sec``; a session's rows may arrive across many micro-batches,
+so the operator carries (session ordinal, session start, last seen ts,
+turn count) in GroupState and emits one row per *closed* session (a new
+turn arriving after the gap closes the previous session). The batch
+equivalent is the lag/cumsum gap-island pattern — tests assert the
+streamed closed sessions equal the batch islands exactly.
+
+Assumes per-conv event-time-ordered arrival ACROSS micro-batches (the
+normal shape for an append-only ingest log; NB FileStreamSource orders
+batches by file modification time, with ties broken arbitrarily — a bulk
+write that stamps identical mtimes can violate this). Out-of-order sources
+need a watermark + buffer stage in front, or ``session_window`` aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("session_id", T.IntegerType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("end_us", T.LongType(), False),
+        T.StructField("n_turns", T.IntegerType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_turns", T.IntegerType()),
+    ]
+)
+
+
+def sessionize_stream(stream: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """conv_id-keyed stateful sessionization over a transcript stream.
+
+    Emits closed sessions only; the trailing open session per conv stays in
+    state (it would close on a later batch or state timeout in a long-lived
+    job). Input needs columns (conv_id, ts).
+    """
+    gap_us = gap_sec * 1_000_000
+
+    def fn(
+        key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            sess_id, start_us, last_us, n_turns = state.get
+        else:
+            sess_id, start_us, last_us, n_turns = 0, None, None, 0
+
+        closed: list[dict[str, Any]] = []
+        # the grouped iterator yields this batch's rows in arbitrary
+        # post-shuffle chunk order — materialize and sort the WHOLE batch
+        # before scanning (chunk-local sorting silently drops sessions)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            ts_all = (
+                pd.to_datetime(batch["ts"])
+                .astype("datetime64[us]")
+                .astype("int64")
+                .sort_values()
+            )
+            for t in ts_all:
+                t = int(t)
+                if start_us is None:
+                    start_us, last_us, n_turns = t, t, 1
+                elif t - last_us >= gap_us:
+                    closed.append(
+                        {
+                            "conv_id": conv_id,
+                            "session_id": sess_id,
+                            "start_us": start_us,
+                            "end_us": last_us,
+                            "n_turns": n_turns,
+                        }
+                    )
+                    sess_id += 1
+                    start_us, last_us, n_turns = t, t, 1
+                else:
+                    last_us = max(last_us, t)
+                    n_turns += 1
+        state.update((sess_id, start_us, last_us, n_turns))
+        yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_batch(df: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Batch twin: lag + gap flag + running island id (the SURVEY
+    'sessionization' pattern). Returns ALL sessions incl. the last open one."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = df.withColumn("__us", us).withColumn(
+        "__new", (F.col("__us") - F.lag("__us").over(w) >= gap_sec * 1_000_000).cast("int")
+    )
+    d = d.withColumn(
+        "session_id",
+        F.coalesce(
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            F.lit(0),
+        ).cast("int"),
+    )
+    return d.groupBy("conv_id", "session_id").agg(
+        F.min("__us").alias("start_us"),
+        F.max("__us").alias("end_us"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    )

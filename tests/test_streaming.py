@@ -44,3 +44,66 @@ def test_stream_is_incremental(spark, transcripts_df, tmp_path):
     assert q.recentProgress and len(q.recentProgress) >= 2
     n = spark.table("t_stream2").count()
     assert n > 0
+
+
+def test_stateful_sessionization_matches_batch(spark, transcripts_df, tmp_path):
+    """applyInPandasWithState sessions (cross-batch state) == batch islands."""
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "sess_src")
+    # a real ingest stream arrives roughly in event-time order; model that
+    # with time-range-partitioned files. FileStreamSource orders batches by
+    # file MODIFICATION TIME (ties broken arbitrarily), so stagger mtimes to
+    # match the time ranges — an append-only log has this property naturally.
+    (
+        transcripts_df.select("conv_id", "ts")
+        .repartitionByRange(6, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    import glob
+    import os
+    import time as _time
+
+    for i, f in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+        t = _time.time() - 1000 + i * 10
+        os.utime(f, (t, t))
+
+    stream = spark.readStream.schema("conv_id string, ts timestamp").option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_sec=600)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2  # state really crossed micro-batches
+
+    got = spark.table("sessions").toPandas()
+    want_all = sessionize_batch(
+        transcripts_df.select("conv_id", "ts"), gap_sec=600
+    ).toPandas()
+    # stream emits CLOSED sessions only → batch minus each conv's last session
+    last = want_all.sort_values("session_id").groupby("conv_id").tail(1)
+    want = (
+        want_all.merge(last, how="left", indicator=True)
+        .query("_merge == 'left_only'")
+        .drop(columns="_merge")
+    )
+    cols = ["conv_id", "session_id", "start_us", "end_us", "n_turns"]
+    import pandas as pd
+
+    a = got[cols].sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+    b = want[cols].sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) > 50  # non-trivial workload
