@@ -1239,3 +1239,42 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.select("event_id", F.sum("cents").over(w).alias("run_cents"))
+
+
+@query(
+    "sessionize",
+    f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+      SELECT user_id, us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
+           count(*) AS n_turns
+    FROM i GROUP BY 1, 2
+    """,
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-island sessionization (the batch twin of the stateful streaming
+    operator in streaming/sessionize.py; SURVEY 'sessionization' pattern)."""
+    from pneuma_treatment_spark.streaming.sessionize import sessionize_batch
+
+    e = _load(spark, sf_dir, "events")
+    out = sessionize_batch(
+        e.select(F.col("user_id").cast("string").alias("conv_id"), "ts"), gap_sec=600
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        "start_us",
+        "end_us",
+        F.col("n_turns").cast("long").alias("n_turns"),
+    )
