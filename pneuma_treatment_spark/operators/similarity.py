@@ -86,3 +86,71 @@ def lsh_topk(
             bucket |= 1 << i
     cand = emb_bucketed.where(F.col("lsh_bucket") == bucket)
     return cosine_topk(cand, list(map(float, q)), k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + cell-pruned search
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_rows: int = 4096,
+) -> list[list[float]]:
+    """Train the coarse quantizer: k-means on a bounded driver-side sample
+    (IVF codebooks are tiny and trained once; the sample cap keeps the
+    driver safe at any table size). Deterministic given the seed."""
+    pdf = emb.select(vec_col).limit(sample_rows).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(10):  # fixed-iteration Lloyd's — deterministic
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    return cent.tolist()
+
+
+def with_ivf_cell(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid — pure column expressions
+    (one squared-distance aggregate per centroid, argmin via least+CASE), so
+    assignment runs JVM-side over any table size. Write the table partitioned
+    by ivf_cell and queries prune to nprobe cells."""
+    d = as_double(F.col(vec_col))
+
+    def dist2(c):
+        ccol = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(d, ccol, lambda a, b: a - b)
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+
+    dists = [dist2(c) for c in centroids]
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    cell = F.lit(0)
+    for i in range(len(dists) - 1, -1, -1):
+        cell = F.when(dists[i] == best, F.lit(i)).otherwise(cell)
+    return emb.withColumn("ivf_cell", cell)
+
+
+def ivf_topk(
+    emb_celled: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: rank centroids by distance to the query driver-side, scan
+    only the ``nprobe`` nearest cells, brute-force within them."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cent = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(((cent - q) ** 2).sum(axis=1))[:nprobe]
+    cand = emb_celled.where(F.col("ivf_cell").isin([int(c) for c in order]))
+    return cosine_topk(cand, [float(v) for v in q], k, id_col, vec_col)

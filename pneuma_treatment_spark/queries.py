@@ -1278,3 +1278,20 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_us",
         F.col("n_turns").cast("long").alias("n_turns"),
     )
+
+
+@query("ivf_topk", None)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-pruned approximate nearest neighbors (the second ANN scale
+    path next to lsh_topk; recall vs brute force in tests/test_dedup_similarity)."""
+    from pneuma_treatment_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train_centroids,
+        with_ivf_cell,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = ivf_train_centroids(emb, n_cells=8, seed=7)
+    celled = with_ivf_cell(emb, cents)
+    return ivf_topk(celled, cents, qvec, k=10, nprobe=3).where(F.col("vec_id") != 0)

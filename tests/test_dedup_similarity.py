@@ -99,3 +99,26 @@ def test_lsh_topk_recall(emb):
     brute = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10, exclude_id=0).collect()}
     # same-cluster vectors share the bucket with high probability
     assert len(approx & brute) >= 5
+
+
+def test_ivf_topk_recall(emb):
+    from pneuma_treatment_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_train_centroids,
+        with_ivf_cell,
+    )
+
+    pdf = emb.toPandas()
+    q = [float(x) for x in pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0]]
+    cents = ivf_train_centroids(emb, n_cells=8, seed=7)
+    celled = with_ivf_cell(emb, cents)
+    celled.cache().count()
+    # 4 well-separated clusters → cells align with clusters; probing the
+    # nearest cells must recover the brute-force top-k almost entirely
+    approx = {r["vec_id"] for r in ivf_topk(celled, cents, q, k=10, nprobe=2).collect()}
+    brute = {r["vec_id"] for r in cosine_topk(emb, q, k=10, exclude_id=0).collect()}
+    assert len(approx & brute) >= 8
+    # nprobe = all cells == exact brute force (minus the query itself)
+    allp = {r["vec_id"] for r in ivf_topk(celled, cents, q, k=10, nprobe=8).collect()}
+    assert len(allp & ({0} | brute)) >= 9
