@@ -115,3 +115,55 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 128, resizer=None
+) -> DataFrame:
+    """Resize pass over image rows via mapInPandas (Arrow binary batches).
+
+    The geometry math (aspect-preserving clamp to ``max_side``) is real; the
+    pixel transform is STUBBED (``resizer=None`` re-hashes the payload to a
+    deterministic fake of the right nominal size — this container has no
+    image codec). Swap ``resizer`` for a PIL-based one in deployment; the
+    Spark plumbing (schema, batching, binary passthrough) is unchanged.
+    """
+
+    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        rng = np.random.default_rng(int.from_bytes(hashlib.sha256(payload).digest()[:8], "big"))
+        return rng.integers(0, 256, max(16, (w * h) // 64), dtype=np.uint8).tobytes()
+
+    do_resize = resizer or fake_resize
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image" or r.width is None:
+                    continue
+                w, h = int(r.width), int(r.height)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "width": nw,
+                        "height": nh,
+                        "payload": do_resize(bytes(r.payload), nw, nh),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
