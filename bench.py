@@ -45,7 +45,10 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def run_transcript_pipeline(spark, n_convs: int = 10000, seed: int = 42):
+def run_transcript_pipeline(spark, n_convs: int = 60000, seed: int = 42):
+    # 60k convs ≈ 1.3M turns: large enough that per-stage fixed costs (~3s
+    # each) amortize and the reported turns/sec reflects engine throughput,
+    # small enough to keep the whole suite under ~4 minutes on 32 cores.
     """Full engine pipeline (synth → gap-fill → treatment → tier cascade →
     Gorilla chunks), checkpointed stages, cold workdir. Returns turn count."""
     import shutil
@@ -56,7 +59,8 @@ def run_transcript_pipeline(spark, n_convs: int = 10000, seed: int = 42):
     wd = tempfile.mkdtemp(prefix="bench_ptsw_")
     try:
         summary = run_pipeline(
-            spark, wd, n_convs=n_convs, seed=seed, mega_turns=50000, chunked=True
+            spark, wd, n_convs=n_convs, seed=seed, mega_turns=100000, chunked=True,
+            stats="fast",
         )
         return summary["stages"]["ingest"]["rows"]
     finally:
