@@ -74,6 +74,12 @@ def run_pipeline(
             "chunked": chunked,
             "input_table": input_table,
             "treatment": cfg.__dict__,
+            # shard identity MUST be part of the stage signature: a different
+            # shard against the same workdir must not see COMPLETE manifests
+            # written by another shard (it would silently return that shard's
+            # data and clobber overlapping p_day partitions)
+            "shard_index": shard_index,
+            "shard_count": shard_count,
         },
     )
 

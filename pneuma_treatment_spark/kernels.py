@@ -104,16 +104,17 @@ def anomaly_mask(raw: np.ndarray, recon: np.ndarray, tol: float) -> np.ndarray:
 
 
 def merge_anomaly_runs(mask: np.ndarray, max_gap: int = 10) -> np.ndarray:
-    """Merge anomaly runs separated by < ``max_gap`` clean points
-    (``processor.py:382-399``): the clean gap between two runs is marked
-    anomalous when its length < max_gap."""
+    """Merge anomaly runs whose anomaly-INDEX difference is < ``max_gap``
+    (``processor.py:393-399``: ``ano_index[k] - ano_index[k-1] < 10``), i.e.
+    the clean gap between two runs is marked anomalous when its length
+    < max_gap - 1 (clean gaps of ≤ 8 points merge at the default 10)."""
     mask = np.asarray(mask, dtype=bool).copy()
     idx = np.flatnonzero(mask)
     if len(idx) < 2:
         return mask
-    gaps = idx[1:] - idx[:-1] - 1  # clean points between consecutive anomalies
-    for a, b, g in zip(idx[:-1], idx[1:], gaps):
-        if 0 < g < max_gap:
+    diffs = idx[1:] - idx[:-1]  # anomaly-index difference (gap = diff - 1)
+    for a, b, d in zip(idx[:-1], idx[1:], diffs):
+        if 1 < d < max_gap:
             mask[a + 1 : b] = True
     return mask
 

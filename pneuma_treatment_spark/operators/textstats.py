@@ -15,6 +15,10 @@ LANG_PROFILES: dict[str, list[str]] = {
     "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "pour", "dans"],
 }
 
+#: tie-break priority when several profiles share the max hit count — MUST
+#: match the CASE order of the SQL oracle twin (en before de before fr)
+LANG_PRIORITY: tuple[str, ...] = ("en", "de", "fr")
+
 
 def _tokens(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
@@ -38,7 +42,10 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         score_cols.append(f"__s_{lang}")
     best = F.greatest(*[F.col(c) for c in score_cols])
     lang_expr = F.lit("und")
-    for lang in sorted(LANG_PROFILES, reverse=True):
+    # build inner→outer in REVERSED priority so the highest-priority language
+    # ends up as the outermost when() — ties then resolve exactly like the
+    # SQL oracle's CASE chain (en, then de, then fr)
+    for lang in reversed(LANG_PRIORITY):
         lang_expr = F.when((best > 0) & (F.col(f"__s_{lang}") == best), F.lit(lang)).otherwise(
             lang_expr
         )

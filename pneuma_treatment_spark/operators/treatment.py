@@ -175,8 +175,8 @@ def treat_transcripts(
     ]
     a = _apply(df, _stage_a_kernel, a_fields, cfg, cfg.halo_a, chunked)
 
-    # Stage B — run merge in SQL (processor.py:390-399): a clean stretch
-    # between two anomalies of length < merge_gap becomes anomalous.
+    # Stage B — run merge in SQL (processor.py:390-399): anomalies whose
+    # INDEX difference is < merge_gap merge (clean stretch ≤ merge_gap - 2).
     # Backward lookup uses a running frame over a descending sort (the
     # unboundedFollowing frame is O(n²) per partition — see gapfill.py).
     w_fwd = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc()).rowsBetween(
@@ -195,7 +195,7 @@ def treat_transcripts(
             | (
                 F.col("__prev").isNotNull()
                 & F.col("__next").isNotNull()
-                & ((F.col("__next") - F.col("__prev") - 1) < cfg.merge_gap)
+                & ((F.col("__next") - F.col("__prev")) < cfg.merge_gap)
             ),
         )
         .drop("__prev", "__next")

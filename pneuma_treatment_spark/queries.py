@@ -66,8 +66,8 @@ def query(name: str, sql: str | None):
     SELECT event_type,
            make_timestamp((({_EPOCH_SQL}//60)*60)*1000000) AS bucket_ts,
            count(*) AS n_events,
-           sum({_CENTS_SQL}) AS value_cents,
-           sum({_CENTS_SQL})/100.0 AS value_sum
+           CAST(sum({_CENTS_SQL}) AS BIGINT) AS value_cents,
+           CAST(sum({_CENTS_SQL}) AS BIGINT)/100.0 AS value_sum
     FROM events GROUP BY 1, 2
     """,
 )
@@ -91,7 +91,7 @@ def rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            make_timestamp((({_EPOCH_SQL}//3600)*3600)*1000000) AS bucket_ts,
            count(*) AS n_events,
-           sum({_CENTS_SQL}) AS value_cents
+           CAST(sum({_CENTS_SQL}) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -148,7 +148,8 @@ def log_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sliding_window_sum",
     f"""
-    SELECT event_id, sum(cents) OVER w AS win_cents, count(*) OVER w AS win_n
+    SELECT event_id, CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+           count(*) OVER w AS win_n
     FROM (SELECT event_id, event_type, {_EPOCH_SQL} AS epoch_s,
                  {_CENTS_SQL} AS cents FROM events)
     WINDOW w AS (PARTITION BY event_type ORDER BY epoch_s
@@ -195,7 +196,7 @@ def lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_gap_count",
     f"""
     SELECT user_id, count(*) AS n_events,
-           sum(CASE WHEN epoch_s - prev_s > 600 THEN 1 ELSE 0 END) AS n_gaps
+           CAST(sum(CASE WHEN epoch_s - prev_s > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
     FROM (SELECT user_id, {_EPOCH_SQL} AS epoch_s,
                  lag({_EPOCH_SQL}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
           FROM events)
@@ -302,8 +303,8 @@ def asof_next_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     )
     SELECT e.event_type,
-           sum(CASE WHEN epoch_us(e.ts) <= m.mid THEN 1 ELSE 0 END) AS observed_cnt,
-           sum(CASE WHEN epoch_us(e.ts) > m.mid THEN 1 ELSE 0 END) AS nulled_cnt
+           CAST(sum(CASE WHEN epoch_us(e.ts) <= m.mid THEN 1 ELSE 0 END) AS BIGINT) AS observed_cnt,
+           CAST(sum(CASE WHEN epoch_us(e.ts) > m.mid THEN 1 ELSE 0 END) AS BIGINT) AS nulled_cnt
     FROM events e JOIN mask m USING (event_type)
     GROUP BY 1
     """,
@@ -327,9 +328,11 @@ def interval_mask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "overwrite_coalesce_join",
     f"""
-    WITH a AS (SELECT user_id, {_EPOCH_SQL}//86400 AS day, sum({_CENTS_SQL}) AS c
+    WITH a AS (SELECT user_id, {_EPOCH_SQL}//86400 AS day,
+                      CAST(sum({_CENTS_SQL}) AS BIGINT) AS c
                FROM events WHERE event_type = 'view' GROUP BY 1, 2),
-         b AS (SELECT user_id, {_EPOCH_SQL}//86400 AS day, sum({_CENTS_SQL}) AS c
+         b AS (SELECT user_id, {_EPOCH_SQL}//86400 AS day,
+                      CAST(sum({_CENTS_SQL}) AS BIGINT) AS c
                FROM events WHERE event_type = 'click' GROUP BY 1, 2)
     SELECT coalesce(a.user_id, b.user_id) AS user_id,
            coalesce(a.day, b.day) AS day,
@@ -380,7 +383,7 @@ def top1_user_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-           sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+           CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
            count(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY 1, 2
@@ -553,8 +556,8 @@ def treatment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n,
-           sum(abs(c - m)) AS abs_err_sum,
-           sum((c - m) * (c - m)) AS sq_err_sum
+           CAST(sum(abs(c - m)) AS BIGINT) AS abs_err_sum,
+           CAST(sum((c - m) * (c - m)) AS BIGINT) AS sq_err_sum
     FROM s WHERE m IS NOT NULL GROUP BY 1
     """,
 )
@@ -588,7 +591,7 @@ def error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS da_n,
-           sum(CASE WHEN sign(dt) = sign(dm) THEN 1 ELSE 0 END) AS da_match
+           CAST(sum(CASE WHEN sign(dt) = sign(dm) THEN 1 ELSE 0 END) AS BIGINT) AS da_match
     FROM s WHERE dt IS NOT NULL AND dm IS NOT NULL GROUP BY 1
     """,
 )
@@ -621,9 +624,9 @@ def directional_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (SELECT gt, pred, count(*) AS n FROM l WHERE pred IS NOT NULL GROUP BY 1, 2),
     lab AS (SELECT DISTINCT gt AS label FROM c UNION SELECT DISTINCT pred FROM c),
-    tpt AS (SELECT gt AS label, sum(n) AS tp FROM c WHERE gt = pred GROUP BY 1),
-    sup AS (SELECT gt AS label, sum(n) AS support FROM c GROUP BY 1),
-    prd AS (SELECT pred AS label, sum(n) AS predicted FROM c GROUP BY 1)
+    tpt AS (SELECT gt AS label, CAST(sum(n) AS BIGINT) AS tp FROM c WHERE gt = pred GROUP BY 1),
+    sup AS (SELECT gt AS label, CAST(sum(n) AS BIGINT) AS support FROM c GROUP BY 1),
+    prd AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS predicted FROM c GROUP BY 1)
     SELECT lab.label,
            coalesce(tp, 0) AS tp,
            coalesce(support, 0) AS support,
@@ -1030,10 +1033,23 @@ def gap_fill_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_features", None)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column multimodal plumbing: synth media → feature extraction
-    (decode stubbed — deterministic fake; Spark dataflow is real)."""
+    (decode stubbed — deterministic fake; Spark dataflow is real).
+
+    The driver's canonicalizer sorts every column, and pandas cannot sort
+    list cells — so this projection is scalars-only: the feature vector is
+    reduced to (dim, murmur3 hash). Library users get the array from
+    ``operators.multimodal.extract_features`` directly."""
     from pneuma_treatment_spark.operators.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, n=64))
+    feats = extract_features(synth_media(spark, n=64))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "payload_sha",
+        F.size("feature").alias("feature_dim"),
+        F.hash("feature").alias("feature_hash"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1153,14 +1169,14 @@ def gap_fill_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, raw_anomaly,
            raw_anomaly OR (prev_a IS NOT NULL AND next_a IS NOT NULL
-                           AND next_a - prev_a - 1 < 10) AS is_anomaly
+                           AND next_a - prev_a < 10) AS is_anomaly
     FROM ext
     """,
 )
 def anomaly_run_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tolerance mask + run merge (W8: processor.py:302-304,366-371,382-399)
     in pure SQL: rolling-median reconstruction, |x−recon| ≥ tol mask, and
-    clean gaps shorter than 10 between runs become anomalous."""
+    runs whose anomaly-index difference is < 10 merge (clean gaps ≤ 8)."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = e.select(
@@ -1192,7 +1208,7 @@ def anomaly_run_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (
                 F.col("prev_a").isNotNull()
                 & F.col("next_a").isNotNull()
-                & ((F.col("next_a") - F.col("prev_a") - 1) < 10)
+                & ((F.col("next_a") - F.col("prev_a")) < 10)
             )
         ).alias("is_anomaly"),
     )
@@ -1201,7 +1217,7 @@ def anomaly_run_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "salted_agg_user",
     f"""
-    SELECT user_id, count(*) AS n, sum({_CENTS_SQL}) AS cents_sum,
+    SELECT user_id, count(*) AS n, CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents_sum,
            max({_CENTS_SQL}) AS cents_max
     FROM events GROUP BY 1
     """,
@@ -1224,8 +1240,8 @@ def salted_agg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total",
     f"""
     SELECT event_id,
-           sum({_CENTS_SQL}) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS run_cents
+           CAST(sum({_CENTS_SQL}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
     FROM events
     """,
 )
@@ -1245,7 +1261,7 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     f"""
     WITH s AS (
-      SELECT user_id, epoch_us(ts) AS us,
+      SELECT user_id, epoch_us(ts) AS us, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
@@ -1253,8 +1269,8 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     i AS (
       SELECT user_id, us,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM s
     )
     SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
@@ -1269,7 +1285,9 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _load(spark, sf_dir, "events")
     out = sessionize_batch(
-        e.select(F.col("user_id").cast("string").alias("conv_id"), "ts"), gap_sec=600
+        e.select(F.col("user_id").cast("string").alias("conv_id"), "ts", "event_id"),
+        gap_sec=600,
+        tie_cols=("event_id",),
     )
     return out.select(
         F.col("conv_id").cast("bigint").alias("user_id"),

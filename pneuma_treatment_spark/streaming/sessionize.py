@@ -108,12 +108,18 @@ def sessionize_stream(stream: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
-def sessionize_batch(df: DataFrame, gap_sec: int = 1800) -> DataFrame:
+def sessionize_batch(
+    df: DataFrame, gap_sec: int = 1800, tie_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Batch twin: lag + gap flag + running island id (the SURVEY
-    'sessionization' pattern). Returns ALL sessions incl. the last open one."""
+    'sessionization' pattern). Returns ALL sessions incl. the last open one.
+
+    ``tie_cols`` break ordering ties among duplicate per-conv timestamps —
+    without one, session membership (and thus min/max/count) is
+    nondeterministic when (conv_id, ts) repeats."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("conv_id").orderBy("ts")
+    w = Window.partitionBy("conv_id").orderBy("ts", *tie_cols)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     d = df.withColumn("__us", us).withColumn(
         "__new", (F.col("__us") - F.lag("__us").over(w) >= gap_sec * 1_000_000).cast("int")
