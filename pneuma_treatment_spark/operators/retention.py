@@ -35,29 +35,27 @@ def apply_interval_mask(
     (``src/10real_node_mask.py:19-22`` convention). A row is observed iff it
     falls in ANY of its key's intervals.
     """
-    m = mask.select(
-        F.col(key).alias("__mk"),
-        F.col("start_ts").alias("__lo"),
-        F.col("end_ts").alias("__hi"),
+    # Collapse the mask to ONE row per key carrying its interval array —
+    # the broadcast join is then a plain equi-join (at most one match per
+    # fact row), and membership is an F.exists over the array. The fact side
+    # never shuffles, never deduplicates (legitimate duplicate fact rows
+    # survive), and no groupBy touches the metric columns.
+    m = mask.groupBy(F.col(key).alias("__mk")).agg(
+        F.collect_list(
+            F.struct(F.col("start_ts").alias("lo"), F.col("end_ts").alias("hi"))
+        ).alias("__ivals")
     )
-    hit = (
-        df.join(
-            F.broadcast(m),
-            (df[key] == F.col("__mk"))
-            & (df[time_col] >= F.col("__lo"))
-            & (df[time_col] < F.col("__hi")),
-            "left",
-        )
-        .groupBy(*df.columns)
-        .agg(F.max(F.col("__mk").isNotNull().cast("int")).alias("__obs"))
+    joined = df.join(F.broadcast(m), df[key] == F.col("__mk"), "left")
+    t = F.col(time_col)
+    observed = F.coalesce(
+        F.exists("__ivals", lambda r: (t >= r["lo"]) & (t < r["hi"])), F.lit(False)
     )
-    observed = F.col("__obs") == 1
     if remove_filtered:
-        return hit.where(observed).drop("__obs")
-    out = hit
+        return joined.where(observed).drop("__mk", "__ivals")
+    out = joined
     for c in metric_cols:
         out = out.withColumn(c, F.when(observed, F.col(c)).otherwise(F.lit(None)))
-    return out.withColumn("is_observed", observed).drop("__obs")
+    return out.withColumn("is_observed", observed).drop("__mk", "__ivals")
 
 
 def ttl_sql_predicate(ttl_days: int, now_date: str) -> str:

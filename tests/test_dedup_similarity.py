@@ -67,6 +67,57 @@ def test_simhash_near_pairs(docs):
     assert (1, 3) in pairs         # one-word change → small hamming distance
 
 
+def _legacy_simhash(docs, bits=64):
+    """The round-1 formulation (explode of `bits` (bit, ±1) structs per token
+    → groupBy(id, bit)) — kept here as the equality oracle for the
+    de-amplified implementation."""
+    from pyspark.sql import functions as F
+
+    toks = docs.where(F.col("text").isNotNull() & (F.trim("text") != "")).select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    per_bit = h.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bit"),
+                        F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                        .otherwise(-1)
+                        .alias("w"),
+                    )
+                    for b in range(bits)
+                ]
+            )
+        ).alias("bw"),
+    ).select("id", F.col("bw.bit").alias("bit"), F.col("bw.w").alias("w"))
+    sums = per_bit.groupBy("id", "bit").agg(F.sum("w").alias("s"))
+    sig = sums.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, CAST(bit AS INT))")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+    return sig.select(F.col("id").alias("doc_id"), "simhash")
+
+
+def test_simhash_matches_legacy(docs):
+    new = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    old = {r["doc_id"]: r["simhash"] for r in _legacy_simhash(docs).collect()}
+    assert new == old
+
+
+def test_simhash_single_shuffle(docs):
+    """The de-amplified signature build must shuffle the token stream ONCE
+    (groupBy(id)) — no per-bit row explosion, no second aggregation."""
+    plan = dedup.simhash(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Generate explode") == 1  # tokens only, not (bit, w)
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.default_rng(3)

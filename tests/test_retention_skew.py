@@ -41,6 +41,38 @@ def test_interval_mask_nulling(spark):
     assert dropped.count() == 4
 
 
+def test_interval_mask_keeps_duplicate_rows(spark):
+    """Legitimate duplicate fact rows must survive the mask (the round-1
+    groupBy(*columns) formulation silently deduplicated them)."""
+    row = ("a", dt.datetime(2024, 1, 1, 0, 3), 1.5)
+    df = spark.createDataFrame(
+        [row, row, row], "conv_id string, bucket_ts timestamp, token_rate double"
+    )
+    mask = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 10))],
+        "conv_id string, start_ts timestamp, end_ts timestamp",
+    )
+    out = apply_interval_mask(df, mask, metric_cols=("token_rate",))
+    assert out.count() == 3
+    assert out.where(F.col("is_observed")).count() == 3
+
+
+def test_interval_mask_no_fact_shuffle(spark):
+    """The fact side must reach the broadcast join without an exchange: the
+    only hash shuffle in the whole plan is the tiny mask-side collect_list."""
+    rows = [("a", dt.datetime(2024, 1, 1, 0, m), float(m)) for m in range(10)]
+    df = spark.createDataFrame(rows, "conv_id string, bucket_ts timestamp, token_rate double")
+    mask = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 2), dt.datetime(2024, 1, 1, 0, 5))],
+        "conv_id string, start_ts timestamp, end_ts timestamp",
+    )
+    out = apply_interval_mask(df, mask, metric_cols=("token_rate",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert final.count("Exchange hashpartitioning") <= 1  # mask agg only
+
+
 def test_interval_mask_preserves_rowcount(spark, transcripts_df):
     tier = rollup_raw(with_turn_metrics(transcripts_df), "1h")
     mask = tier.groupBy("conv_id").agg(
