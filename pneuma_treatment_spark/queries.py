@@ -404,6 +404,127 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1/S3 wide-record ingest parser (01data_formatter.py:18-63)
+# ---------------------------------------------------------------------------
+
+def _wide_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic wide-record lines synthesized from the events table
+    (all-integer tokens → identical string formatting in Spark and DuckDB),
+    plus a header line and a malformed line the parser must drop."""
+    e = _events(spark, sf_dir)
+    tup = F.concat_ws(
+        "; ",
+        F.col("cents").cast("string"),
+        (F.col("cents") + 1).cast("string"),
+        F.col("event_id").cast("string"),
+        (F.col("cents") % 7).cast("string"),
+        (F.col("cents") % 11).cast("string"),
+        F.col("epoch_s").cast("string"),
+    )
+    per = e.select(
+        "user_id", F.struct(F.col("ts"), F.col("event_id"), tup.alias("p")).alias("r")
+    )
+    agg = per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.concat_ws(
+            "; ", F.transform(F.sort_array(F.collect_list("r")), lambda r: r["p"])
+        ).alias("body"),
+    )
+    line = F.concat_ws(
+        "; ",
+        F.col("user_id").cast("string"),
+        F.lit("conv"),
+        F.col("cnt").cast("string"),
+        (F.col("cnt") * 2).cast("string"),
+        F.col("body"),
+    )
+    junk = spark.createDataFrame(
+        [("raw_header",), ("x; y; z; w; a; b; c; d; e; f; g",)], "value string"
+    )
+    return agg.select(line.alias("value")).unionByName(junk)
+
+
+_WIDE_LINES_SQL = f"""
+    e AS (
+      SELECT user_id, ts, event_id, {_CENTS_SQL} AS cents, {_EPOCH_SQL} AS s
+      FROM events
+    ),
+    l AS (
+      SELECT CAST(user_id AS VARCHAR) || '; conv; ' || CAST(count(*) AS VARCHAR)
+             || '; ' || CAST(count(*) * 2 AS VARCHAR) || '; ' ||
+             string_agg(
+               CAST(cents AS VARCHAR) || '; ' || CAST(cents + 1 AS VARCHAR) || '; '
+               || CAST(event_id AS VARCHAR) || '; ' || CAST(cents % 7 AS VARCHAR)
+               || '; ' || CAST(cents % 11 AS VARCHAR) || '; ' || CAST(s AS VARCHAR),
+               '; ' ORDER BY ts, event_id) AS value
+      FROM e GROUP BY user_id
+      UNION ALL SELECT 'raw_header'
+      UNION ALL SELECT 'x; y; z; w; a; b; c; d; e; f; g'
+    ),
+    p AS (
+      SELECT string_split(value, '; ') AS t FROM l
+      WHERE len(string_split(value, '; ')) >= 10
+    )
+"""
+
+
+@query(
+    "wide_record_parse",
+    f"""
+    WITH {_WIDE_LINES_SQL},
+    x AS (
+      SELECT t, unnest(range(0, CAST(floor((len(t) - 10) / 6) AS BIGINT) + 1)) AS j
+      FROM p
+    ),
+    y AS (
+      SELECT t[1] AS id, CAST(j AS INT) AS j,
+             TRY_CAST(t[j*6 + 5] AS DOUBLE) + 0.25 AS lat,
+             TRY_CAST(t[j*6 + 6] AS DOUBLE) - 0.5 AS lon,
+             TRY_CAST(t[j*6 + 7] AS DOUBLE) AS v,
+             TRY_CAST(t[j*6 + 8] AS DOUBLE) AS a_x,
+             TRY_CAST(t[j*6 + 9] AS DOUBLE) AS a_y,
+             TRY_CAST(t[j*6 + 10] AS DOUBLE) AS frame
+      FROM x
+    )
+    SELECT * FROM y
+    WHERE lat IS NOT NULL AND lon IS NOT NULL AND v IS NOT NULL
+      AND a_x IS NOT NULL AND a_y IS NOT NULL AND frame IS NOT NULL
+    """,
+)
+def wide_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 wide-record stride-6 unpack (01data_formatter.py:18-49) +
+    S3 robust-scan drop of the header/malformed lines (test_csv_reading.py:
+    13-19). Offsets here are exact binary fractions (0.25 / −0.5) so the
+    float adds are bit-identical across engines; the operator's defaults are
+    the reference constants."""
+    from pneuma_treatment_spark.io.widerecord import parse_wide_records
+
+    return parse_wide_records(
+        _wide_lines(spark, sf_dir), lat_offset=0.25, lon_offset=-0.5
+    )
+
+
+@query(
+    "wide_record_meta",
+    f"""
+    WITH {_WIDE_LINES_SQL}
+    SELECT t[1] AS id, t[2] AS type,
+           TRY_CAST(t[3] AS DOUBLE) AS dist,
+           TRY_CAST(t[4] AS DOUBLE) AS avg_speed
+    FROM p
+    WHERE TRY_CAST(t[3] AS DOUBLE) IS NOT NULL
+      AND TRY_CAST(t[4] AS DOUBLE) IS NOT NULL
+    """,
+)
+def wide_record_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 meta extraction (01data_formatter.py:35-37): the 4-field dim table
+    off the same wide lines — broadcast-join material (J8)."""
+    from pneuma_treatment_spark.io.widerecord import parse_wide_meta
+
+    return parse_wide_meta(_wide_lines(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline ops: dedup / text analysis / similarity search
 # ---------------------------------------------------------------------------
 
