@@ -639,25 +639,79 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Non-SQL-expressible: full treatment chain (rows-only driver check)
 # ---------------------------------------------------------------------------
 
-@query("treatment_pipeline", None)
+@query(
+    "treatment_pipeline",
+    f"""
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+             {_CENTS_SQL} AS c
+      FROM events
+    ),
+    w AS (
+      SELECT conv_id, turn_idx, c,
+             count(*) OVER (PARTITION BY conv_id) AS cnt,
+             CAST(sum(c) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS wsum,
+             first_value(c) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS firstc,
+             first_value(c) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS lastc,
+             median(c) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med
+      FROM s
+    ),
+    m AS (
+      SELECT conv_id, turn_idx,
+             wsum + greatest(0, 12 - turn_idx) * firstc
+                  + greatest(0, turn_idx + 12 - (cnt - 1)) * lastc AS sg_sum25,
+             CAST(round(med * 2) AS BIGINT) AS med2,
+             abs(c - med) >= 6.0 AS raw_anomaly
+      FROM w
+    ),
+    ext AS (
+      SELECT *,
+             max(CASE WHEN raw_anomaly THEN turn_idx END) OVER
+               (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_a,
+             min(CASE WHEN raw_anomaly THEN turn_idx END) OVER
+               (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_a
+      FROM m
+    )
+    SELECT conv_id, turn_idx, CAST(sg_sum25 AS BIGINT) AS sg_sum25, med2, raw_anomaly,
+           raw_anomaly OR (prev_a IS NOT NULL AND next_a IS NOT NULL
+                           AND next_a - prev_a < 10) AS is_anomaly
+    FROM ext
+    """,
+)
 def treatment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SG smooth → median reconstruction → anomaly mask/merge → replace →
-    Gaussian smooth → derivative (processor.py:314-465), run over the events
-    table as per-user value series. Not SQL-expressible (custom kernels);
-    its exactness is covered by tests/test_treatment_parity.py vs the pandas
-    oracle instead."""
+    """SG smooth → median reconstruction → anomaly mask/merge
+    (processor.py:314-399) run over the events table as per-user CENTS
+    series, driven through the real Arrow-batched kernels.
+
+    Oracle trick: on integer inputs the poly-1 SG (edge-padded window-25
+    mean) times 25 is an exact integer window sum (+ edge-repeat correction
+    terms), and the min_periods=1 rolling median times 2 is an exact
+    integer — so the float kernel outputs round-trip to ints that SQL can
+    reproduce exactly. The Gaussian/derivative tail (g_ns/g_na) has no such
+    integer form; it stays under the pytest parity gate
+    (tests/test_treatment_parity.py) and the library API."""
     from pneuma_treatment_spark.operators.treatment import TreatmentConfig, treat_transcripts
 
-    e = _load(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     series = e.select(
         F.col("user_id").cast("string").alias("conv_id"),
         (F.row_number().over(w) - 1).alias("turn_idx"),
-        F.col("value").alias("token_count"),
+        F.col("cents").cast("double").alias("token_count"),
     )
     out = treat_transcripts(series, TreatmentConfig())
     return out.select(
-        "conv_id", "turn_idx", "sg_tokens", "med_tokens", "is_anomaly", "g_ns", "g_na"
+        "conv_id",
+        "turn_idx",
+        F.round(F.col("sg_tokens") * 25).cast("long").alias("sg_sum25"),
+        F.round(F.col("med_tokens") * 2).cast("long").alias("med2"),
+        "raw_anomaly",
+        "is_anomaly",
     )
 
 
@@ -935,10 +989,11 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by pytest against operator-level expectations)
 # ---------------------------------------------------------------------------
 
-@query(
-    "state_estimate",
-    f"""
-    WITH r AS (
+# shared CTE chain: per-type minute rollup → slope-voting state (W11) →
+# simplified labels → transition events (W12); reused by state_estimate,
+# transition_events and event_match_metrics oracles
+_STATE_CTES = f"""
+    r AS (
       SELECT event_type AS conv_id,
              make_timestamp((({_EPOCH_SQL}//60)*60)*1000000) AS bucket_ts,
              sum({_CENTS_SQL})/100.0 AS value_sum
@@ -969,16 +1024,42 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END
             + CASE WHEN s4 IS NOT NULL THEN 1 ELSE 0 END) AS n_valid
       FROM sl
+    ),
+    stq AS (
+      SELECT conv_id, bucket_ts, value_sum,
+             CASE WHEN value_sum IS NULL THEN 0
+                  WHEN value_sum < 50.0 THEN 4
+                  WHEN value_sum > 500.0 THEN 0
+                  WHEN n_down >= n_up AND n_down >= (n_valid - n_down - n_up) THEN 1
+                  WHEN n_up >= (n_valid - n_down - n_up) THEN 3
+                  ELSE 2 END AS state
+      FROM v
+    ),
+    sim AS (
+      SELECT conv_id, bucket_ts,
+             CASE WHEN state = 0 THEN 'FREE' WHEN state = 4 THEN 'QUEUED'
+                  ELSE 'CONGESTED' END AS simple
+      FROM stq
+    ),
+    tr AS (
+      SELECT conv_id, bucket_ts, simple,
+             lag(simple) OVER (PARTITION BY conv_id ORDER BY bucket_ts) AS prev_simple
+      FROM sim
+    ),
+    evq AS (
+      SELECT conv_id, bucket_ts, prev_simple, simple,
+             CASE WHEN prev_simple = 'FREE' AND simple IN ('CONGESTED','QUEUED') THEN 'TO_CONGESTION'
+                  WHEN prev_simple = 'CONGESTED' AND simple = 'QUEUED' THEN 'TO_CONGESTION'
+                  WHEN prev_simple = 'QUEUED' THEN 'TO_FREE_FLOW'
+                  ELSE 'OTHER' END AS event_type
+      FROM tr WHERE prev_simple IS NOT NULL AND prev_simple <> simple
     )
-    SELECT conv_id, bucket_ts, value_sum,
-           CASE WHEN value_sum IS NULL THEN 0
-                WHEN value_sum < 50.0 THEN 4
-                WHEN value_sum > 500.0 THEN 0
-                WHEN n_down >= n_up AND n_down >= (n_valid - n_down - n_up) THEN 1
-                WHEN n_up >= (n_valid - n_down - n_up) THEN 3
-                ELSE 2 END AS state
-    FROM v
-    """,
+"""
+
+
+@query(
+    "state_estimate",
+    f"WITH {_STATE_CTES} SELECT conv_id, bucket_ts, value_sum, state FROM stq",
 )
 def state_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Future-window slope-voting state classifier (W11) over per-type
@@ -993,67 +1074,8 @@ def state_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "transition_events",
-    f"""
-    WITH r AS (
-      SELECT event_type AS conv_id,
-             make_timestamp((({_EPOCH_SQL}//60)*60)*1000000) AS bucket_ts,
-             sum({_CENTS_SQL})/100.0 AS value_sum
-      FROM events GROUP BY 1, 2
-    ),
-    l AS (
-      SELECT conv_id, bucket_ts, value_sum,
-             lead(value_sum, 1) OVER w AS v1, lead(value_sum, 2) OVER w AS v2,
-             lead(value_sum, 3) OVER w AS v3, lead(value_sum, 4) OVER w AS v4,
-             lead(value_sum, 5) OVER w AS v5
-      FROM r WINDOW w AS (PARTITION BY conv_id ORDER BY bucket_ts)
-    ),
-    sl AS (
-      SELECT conv_id, bucket_ts, value_sum,
-             v1 - value_sum AS s0, v2 - v1 AS s1, v3 - v2 AS s2,
-             v4 - v3 AS s3, v5 - v4 AS s4
-      FROM l
-    ),
-    v AS (
-      SELECT conv_id, bucket_ts, value_sum,
-             (CASE WHEN s0 < -0.05 THEN 1 ELSE 0 END + CASE WHEN s1 < -0.05 THEN 1 ELSE 0 END
-            + CASE WHEN s2 < -0.05 THEN 1 ELSE 0 END + CASE WHEN s3 < -0.05 THEN 1 ELSE 0 END
-            + CASE WHEN s4 < -0.05 THEN 1 ELSE 0 END) AS n_down,
-             (CASE WHEN s0 > 0.05 THEN 1 ELSE 0 END + CASE WHEN s1 > 0.05 THEN 1 ELSE 0 END
-            + CASE WHEN s2 > 0.05 THEN 1 ELSE 0 END + CASE WHEN s3 > 0.05 THEN 1 ELSE 0 END
-            + CASE WHEN s4 > 0.05 THEN 1 ELSE 0 END) AS n_up,
-             (CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END
-            + CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END
-            + CASE WHEN s4 IS NOT NULL THEN 1 ELSE 0 END) AS n_valid
-      FROM sl
-    )
-    , st AS (
-      SELECT conv_id, bucket_ts,
-             CASE WHEN value_sum IS NULL THEN 0
-                  WHEN value_sum < 50.0 THEN 4
-                  WHEN value_sum > 500.0 THEN 0
-                  WHEN n_down >= n_up AND n_down >= (n_valid - n_down - n_up) THEN 1
-                  WHEN n_up >= (n_valid - n_down - n_up) THEN 3
-                  ELSE 2 END AS state
-      FROM v
-    ),
-    sim AS (
-      SELECT conv_id, bucket_ts,
-             CASE WHEN state = 0 THEN 'FREE' WHEN state = 4 THEN 'QUEUED'
-                  ELSE 'CONGESTED' END AS simple
-      FROM st
-    ),
-    tr AS (
-      SELECT conv_id, bucket_ts, simple,
-             lag(simple) OVER (PARTITION BY conv_id ORDER BY bucket_ts) AS prev_simple
-      FROM sim
-    )
-    SELECT conv_id, bucket_ts, prev_simple, simple,
-           CASE WHEN prev_simple = 'FREE' AND simple IN ('CONGESTED','QUEUED') THEN 'TO_CONGESTION'
-                WHEN prev_simple = 'CONGESTED' AND simple = 'QUEUED' THEN 'TO_CONGESTION'
-                WHEN prev_simple = 'QUEUED' THEN 'TO_FREE_FLOW'
-                ELSE 'OTHER' END AS event_type
-    FROM tr WHERE prev_simple IS NOT NULL AND prev_simple <> simple
-    """,
+    f"""WITH {_STATE_CTES}
+    SELECT conv_id, bucket_ts, prev_simple, simple, event_type FROM evq""",
 )
 def transition_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State-transition event stream (W12)."""
@@ -1064,10 +1086,60 @@ def transition_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_events(st)
 
 
-@query("dtw_persistence", None)
+@query(
+    "dtw_persistence",
+    r"""
+    WITH RECURSIVE
+    s AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, value AS v,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+             ts, event_id
+      FROM events
+    ),
+    ser AS (
+      SELECT conv_id,
+             list(v ORDER BY ts, event_id) AS a,
+             list(pv ORDER BY ts, event_id) FILTER (pv IS NOT NULL) AS b
+      FROM s GROUP BY conv_id
+    ),
+    dims AS (SELECT conv_id, a, b, len(a) AS n, len(b) AS m FROM ser),
+    -- banded DTW DP marched row-major (virtual column 0 included, so each
+    -- row is m+1 cells); the state list w holds the last m+2 DP cells, so
+    -- w[1]=D[i-1][j-1], w[2]=D[i-1][j], w[m+2]=D[i][j-1] — each new cell is
+    -- ONE add of the local cost to the 3-way min, the exact float op order
+    -- of the numpy kernel (operators/dtw.py:34-49)
+    dp AS (
+      SELECT conv_id, a, b, n, m, CAST(0 AS BIGINT) AS c,
+             list_prepend('infinity'::DOUBLE,
+               list_prepend(0.0, list_transform(range(1, m + 1), x -> 'infinity'::DOUBLE))) AS w
+      FROM dims WHERE n > 0 AND m > 0
+      UNION ALL
+      SELECT conv_id, a, b, n, m, c + 1,
+             list_append(w[2:],
+               CASE WHEN c % (m + 1) = 0
+                      OR c % (m + 1) < (c // (m + 1) + 1) - 64
+                      OR c % (m + 1) > (c // (m + 1) + 1) + 64
+                    THEN 'infinity'::DOUBLE
+                    ELSE (a[CAST(c // (m + 1) AS INT) + 1] - b[CAST(c % (m + 1) AS INT)])
+                         * (a[CAST(c // (m + 1) AS INT) + 1] - b[CAST(c % (m + 1) AS INT)])
+                         + least(w[1], w[2], w[m + 2])
+               END)
+      FROM dp WHERE c < n * (m + 1)
+    ),
+    fin AS (SELECT conv_id, n, m, w[m + 2] AS dnm FROM dp WHERE c = n * (m + 1))
+    SELECT conv_id, CAST(n AS INT) AS n_a, CAST(m AS INT) AS n_b,
+           sqrt(dnm) AS dtw, sqrt(dnm) / ((n + m) / 2.0) AS dtw_normalized
+    FROM fin
+    UNION ALL
+    SELECT conv_id, CAST(n AS INT), CAST(m AS INT), 'nan'::DOUBLE, 'nan'::DOUBLE
+    FROM dims WHERE n = 0 OR m = 0
+    """,
+)
 def dtw_persistence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW distance (W14) between each user's value series and its 1-step
-    persistence forecast."""
+    persistence forecast. The DuckDB twin replays the banded DP cell-by-cell
+    in a recursive CTE (band 64, squared-euclidean cost) — bit-identical
+    float accumulation, so dtw/dtw_normalized hash-match exactly."""
     from pneuma_treatment_spark.operators.dtw import dtw_compare
 
     e = _load(spark, sf_dir, "events")
@@ -1119,9 +1191,69 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(bucketed, [float(v) for v in qvec], planes, k=10)
 
 
-@query("event_match_metrics", None)
+@query(
+    "event_match_metrics",
+    f"""
+    WITH RECURSIVE {_STATE_CTES},
+    g2 AS (SELECT conv_id, event_type, epoch_us(bucket_ts)//1000000 AS t FROM evq),
+    u AS (
+      SELECT conv_id, event_type, t, 'gt' AS side FROM g2
+      UNION ALL
+      SELECT conv_id, event_type, t + 180, 'pred' FROM g2
+    ),
+    grp AS (
+      SELECT conv_id, event_type,
+             coalesce(list(t ORDER BY t) FILTER (side = 'gt'), []) AS gt,
+             coalesce(list(t ORDER BY t) FILTER (side = 'pred'), []) AS pr
+      FROM u GROUP BY 1, 2
+    ),
+    -- greedy nearest-match with stealing (metrics.match_events kernel):
+    -- march predictions in time order; `dist` holds each gt's current best
+    -- |delay| (inf = unmatched). A pred may take gt only if strictly closer
+    -- than gt's current match; ties between gts resolve to the earliest
+    -- (list_sort on (d, gi)). A stolen pred is never re-matched — exactly
+    -- the kernel's dict-overwrite semantics.
+    stm AS (
+      SELECT conv_id, event_type, gt, pr, CAST(0 AS BIGINT) AS pi,
+             list_transform(range(1, len(gt) + 1), x -> 'infinity'::DOUBLE) AS dist
+      FROM grp
+      UNION ALL
+      SELECT conv_id, event_type, gt, pr, pi + 1,
+             CASE WHEN best IS NULL THEN dist
+                  ELSE dist[:CAST(best.gi AS INT) - 1] || [best.d]
+                       || dist[CAST(best.gi AS INT) + 1:]
+             END
+      FROM (
+        SELECT conv_id, event_type, gt, pr, pi, dist,
+               (list_sort(list_filter(
+                  list_transform(range(1, len(gt) + 1),
+                    gi -> {{'d': CAST(abs(pr[CAST(pi AS INT) + 1]
+                                          - gt[CAST(gi AS INT)]) AS DOUBLE),
+                            'gi': CAST(gi AS BIGINT)}}),
+                  x -> x.d <= 600 AND x.d < dist[CAST(x.gi AS INT)])))[1] AS best
+        FROM stm WHERE pi < len(pr)
+      )
+    ),
+    fin AS (SELECT * FROM stm WHERE pi = len(pr)),
+    res AS (
+      SELECT conv_id, event_type,
+             len(list_filter(dist, x -> x < 'infinity'::DOUBLE)) AS tp,
+             len(gt) AS ng, len(pr) AS np,
+             list_filter(dist, x -> x < 'infinity'::DOUBLE) AS delays
+      FROM fin
+    )
+    SELECT conv_id, event_type,
+           CAST(tp AS INT) AS tp,
+           CAST(ng - tp AS INT) AS fn,
+           CAST(np - tp AS INT) AS fp,
+           CASE WHEN tp > 0 THEN list_aggregate(delays, 'avg') END AS mean_abs_delay
+    FROM res
+    """,
+)
 def event_match_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy nearest event matching TP/FN/FP + delay (W13/A12)."""
+    """Greedy nearest event matching TP/FN/FP + delay (W13/A12). The DuckDB
+    twin replays the greedy-with-stealing loop one prediction per recursive
+    iteration, so even the sequential matcher is hash-gated."""
     from pneuma_treatment_spark.operators.metrics import match_events
     from pneuma_treatment_spark.operators.state import estimate_states, transition_events
 
@@ -1134,9 +1266,45 @@ def event_match_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_events(ev, ev2, max_delay=600)
 
 
-@query("gap_fill_events", None)
+@query(
+    "gap_fill_events",
+    f"""
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+             epoch_us(ts) AS us,
+             CASE WHEN event_id % 7 <> 0 THEN value END AS v,
+             event_type AS role
+      FROM events
+    ),
+    f AS (
+      SELECT *,
+             last_value(v IGNORE NULLS) OVER wf AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN turn_idx END IGNORE NULLS) OVER wf AS pi,
+             first_value(v IGNORE NULLS) OVER wb AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN turn_idx END IGNORE NULLS) OVER wb AS ni
+      FROM s
+      WINDOW wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT conv_id, turn_idx, FALSE AS is_filled, role,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                        * (CAST(turn_idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+           END AS token_count,
+           us AS ts_us
+    FROM f
+    """,
+)
 def gap_fill_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense-grid gap-fill (W10/W15) over per-user event sequences."""
+    """Dense-grid gap-fill (W10/W15) over per-user event sequences, on RAW
+    double values (gap_fill_oracle is the cents variant with real index
+    gaps; this one pins the float lerp path bit-for-bit — same op sequence
+    on both engines)."""
     from pneuma_treatment_spark.operators.gapfill import gap_fill
 
     e = _load(spark, sf_dir, "events")
@@ -1148,7 +1316,15 @@ def gap_fill_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("token_count"),
         F.col("event_type").alias("role"),
     )
-    return gap_fill(series, lerp_cols=("token_count",), lerp_ts_cols=("ts",))
+    out = gap_fill(series, lerp_cols=("token_count",), lerp_ts_cols=("ts",))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "is_filled",
+        "role",
+        "token_count",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
 
 
 @query("multimodal_features", None)
