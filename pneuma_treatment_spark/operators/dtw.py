@@ -57,6 +57,85 @@ def dtw_normalized(a: np.ndarray, b: np.ndarray, band: int | None = None) -> flo
     return d / n if n else float("nan")
 
 
+def dtw_matrix(a: np.ndarray, b: np.ndarray, band: int | None = None) -> np.ndarray:
+    """Full (n+1)×(m+1) accumulated-cost matrix — needed for path backtrack
+    (24dtwDistance.py:124-125). O(n·m) memory: path metrics are for the
+    short per-key rollup series, not unbounded data."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    a = a[~np.isnan(a)]
+    b = b[~np.isnan(b)]
+    n, m = len(a), len(b)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        lo, hi = 1, m
+        if band is not None:
+            lo = max(1, i - band)
+            hi = min(m, i + band)
+        d = (a[i - 1] - b[lo - 1 : hi]) ** 2
+        cand = np.minimum(D[i - 1, lo - 1 : hi], D[i - 1, lo : hi + 1])
+        run = np.inf
+        for jj in range(hi - lo + 1):
+            run = d[jj] + min(cand[jj], run)
+            D[i, lo + jj] = run
+    return D
+
+
+def backtrack_path(D: np.ndarray) -> list[tuple[int, int]]:
+    """Backtrack the optimal warping path (24dtwDistance.py:157-188): from
+    (n, m) step to the min-cost predecessor of (i-1,j), (i,j-1), (i-1,j-1) —
+    FIRST minimal wins ties, exactly the reference's ``min(candidates)``."""
+    path = []
+    i, j = D.shape[0] - 1, D.shape[1] - 1
+    while i > 0 or j > 0:
+        path.append((i, j))
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            up, left, diag = D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]
+            if up <= left and up <= diag:
+                i -= 1
+            elif left <= diag:
+                j -= 1
+            else:
+                i -= 1
+                j -= 1
+    path.append((0, 0))
+    path.reverse()
+    return path
+
+
+def path_error_stats(a: np.ndarray, b: np.ndarray, band: int | None = None) -> dict:
+    """Per-path error metrics (24dtwDistance.py:112-155): |a[i-1]−b[j-1]|
+    along the warping path (interior cells only), with length/avg/std/max.
+    avg/std use np.mean/np.std (population) like the reference."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    a = a[~np.isnan(a)]
+    b = b[~np.isnan(b)]
+    if len(a) == 0 or len(b) == 0:
+        return {"path_len": 0, "avg_path_error": 0.0, "std_path_error": 0.0,
+                "max_path_error": 0.0}
+    D = dtw_matrix(a, b, band)
+    path = backtrack_path(D)
+    errs = np.array(
+        [abs(a[i - 1] - b[j - 1]) for i, j in path if i > 0 and j > 0],
+        dtype=np.float64,
+    )
+    if len(errs) == 0:
+        return {"path_len": len(path), "avg_path_error": 0.0,
+                "std_path_error": 0.0, "max_path_error": 0.0}
+    return {
+        "path_len": len(path),
+        "avg_path_error": float(np.mean(errs)),
+        "std_path_error": float(np.std(errs)),
+        "max_path_error": float(np.max(errs)),
+    }
+
+
 DTW_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
@@ -67,6 +146,13 @@ DTW_SCHEMA = T.StructType(
     ]
 )
 
+PATH_FIELDS = [
+    T.StructField("path_len", T.IntegerType()),
+    T.StructField("avg_path_error", T.DoubleType()),
+    T.StructField("std_path_error", T.DoubleType()),
+    T.StructField("max_path_error", T.DoubleType()),
+]
+
 
 def dtw_compare(
     truth: DataFrame,
@@ -76,8 +162,14 @@ def dtw_compare(
     value_col: str = "token_rate",
     band: int | None = None,
     group_buckets: int = 64,
+    with_path: bool = False,
 ) -> DataFrame:
-    """Per-key DTW between two series tables."""
+    """Per-key DTW between two series tables. ``with_path=True`` adds the
+    warping-path metrics (path_len, avg/std/max path error —
+    24dtwDistance.py:112-155) at O(n·m) memory per key."""
+    schema = (
+        T.StructType(list(DTW_SCHEMA.fields) + PATH_FIELDS) if with_path else DTW_SCHEMA
+    )
     a = truth.select(key, time_col, F.col(value_col).alias("va"))
     b = model.select(key, time_col, F.col(value_col).alias("vb"))
     j = a.join(b, [key, time_col], "full_outer").withColumn(
@@ -92,17 +184,18 @@ def dtw_compare(
             vb = g["vb"].to_numpy(np.float64)
             va_c = va[~np.isnan(va)]
             vb_c = vb[~np.isnan(vb)]
-            rows.append(
-                {
-                    key: k,
-                    "n_a": len(va_c),
-                    "n_b": len(vb_c),
-                    "dtw": dtw_distance(va, vb, band),
-                    "dtw_normalized": dtw_normalized(va_c, vb_c, band),
-                }
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in DTW_SCHEMA.fields])
+            row = {
+                key: k,
+                "n_a": len(va_c),
+                "n_b": len(vb_c),
+                "dtw": dtw_distance(va, vb, band),
+                "dtw_normalized": dtw_normalized(va_c, vb_c, band),
+            }
+            if with_path:
+                row.update(path_error_stats(va_c, vb_c, band))
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return j.groupBy("__g").applyInPandas(
-        lambda p: kernel(p.drop(columns="__g")), DTW_SCHEMA
+        lambda p: kernel(p.drop(columns="__g")), schema
     )

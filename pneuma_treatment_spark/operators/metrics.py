@@ -149,7 +149,18 @@ def match_events(
     Per-(key, type) event counts are tiny (they are transitions, not rows),
     so the quadratic greedy runs in a grouped pandas kernel like the
     reference — but across all keys at once.
+
+    Delay distribution (23stateFscore.py:345-361): signed delay = pred − gt
+    per matched pair; reports mean/median of |delay|, mean/median/std of the
+    signed delay. std is the POPULATION std (np.std semantics) computed via
+    the exact integer identity sqrt(n·Σx² − (Σx)²)/n — algebraically equal
+    to np.std but exactly reproducible (delays are integer seconds), so the
+    SQL oracle matches bit-for-bit. Empty matches report null, not 0 (the
+    engine's load-bearing-null convention; the reference reports 0.0).
     """
+    import math
+
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -169,6 +180,10 @@ def match_events(
             T.StructField("fn", T.IntegerType()),
             T.StructField("fp", T.IntegerType()),
             T.StructField("mean_abs_delay", T.DoubleType()),
+            T.StructField("median_abs_delay", T.DoubleType()),
+            T.StructField("mean_delay", T.DoubleType()),
+            T.StructField("median_delay", T.DoubleType()),
+            T.StructField("std_delay", T.DoubleType()),
         ]
     )
 
@@ -196,7 +211,22 @@ def match_events(
                     match[best] = pi
                     dist[best] = bestd
             tp = len(match)
-            delays = [abs(pr_ts[pi] - gt_ts[gi]) for gi, pi in match.items()]
+            sdel = [pr_ts[pi] - gt_ts[gi] for gi, pi in match.items()]
+            delays = [abs(d) for d in sdel]
+            if sdel:
+                var_num = tp * sum(d * d for d in sdel) - sum(sdel) ** 2
+                stats = {
+                    "mean_abs_delay": sum(delays) / tp,
+                    "median_abs_delay": float(np.median(delays)),
+                    "mean_delay": sum(sdel) / tp,
+                    "median_delay": float(np.median(sdel)),
+                    "std_delay": math.sqrt(var_num) / tp,
+                }
+            else:
+                stats = dict.fromkeys(
+                    ["mean_abs_delay", "median_abs_delay", "mean_delay",
+                     "median_delay", "std_delay"]
+                )
             out.append(
                 {
                     key: k,
@@ -204,7 +234,7 @@ def match_events(
                     "tp": tp,
                     "fn": len(gt_ts) - tp,
                     "fp": len(pr_ts) - tp,
-                    "mean_abs_delay": float(pd.Series(delays).mean()) if delays else None,
+                    **stats,
                 }
             )
         return pd.DataFrame(out, columns=[f.name for f in schema.fields])

@@ -1102,7 +1102,7 @@ def transition_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              list(pv ORDER BY ts, event_id) FILTER (pv IS NOT NULL) AS b
       FROM s GROUP BY conv_id
     ),
-    dims AS (SELECT conv_id, a, b, len(a) AS n, len(b) AS m FROM ser),
+    dims AS MATERIALIZED (SELECT conv_id, a, b, len(a) AS n, len(b) AS m FROM ser),
     -- banded DTW DP marched row-major (virtual column 0 included, so each
     -- row is m+1 cells); the state list w holds the last m+2 DP cells, so
     -- w[1]=D[i-1][j-1], w[2]=D[i-1][j], w[m+2]=D[i][j-1] — each new cell is
@@ -1126,20 +1126,69 @@ def transition_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                END)
       FROM dp WHERE c < n * (m + 1)
     ),
-    fin AS (SELECT conv_id, n, m, w[m + 2] AS dnm FROM dp WHERE c = n * (m + 1))
-    SELECT conv_id, CAST(n AS INT) AS n_a, CAST(m AS INT) AS n_b,
-           sqrt(dnm) AS dtw, sqrt(dnm) / ((n + m) / 2.0) AS dtw_normalized
-    FROM fin
+    fin AS MATERIALIZED (SELECT conv_id, n, m, w[m + 2] AS dnm FROM dp WHERE c = n * (m + 1)),
+    -- every DP cell value is recoverable from the retained states: computed
+    -- cell (i,j) sits at linear index (i-1)*(m+1)+j = c-1 with value w[m+2]
+    mat AS MATERIALIZED (SELECT conv_id, c - 1 AS cell, w[m + 2] AS val FROM dp WHERE c > 0),
+    -- path backtrack (24dtwDistance.py:157-188): from (n,m) step to the
+    -- min-cost predecessor, FIRST minimal of (up, left, diag) wins ties;
+    -- row 0 is virtual (D[0][0]=0, else inf). Tracks the running path cell
+    -- count and max interior |a[i]-b[j]| — both exact, so hash-gateable.
+    bt AS (
+      SELECT conv_id, a, b, n, m, n AS i, m AS j,
+             CAST(0 AS BIGINT) AS cnt, 0.0::DOUBLE AS maxerr
+      FROM dims WHERE n > 0 AND m > 0
+      UNION ALL
+      SELECT conv_id, a, b, n, m,
+             CASE WHEN i = 0 THEN i
+                  WHEN j = 0 THEN i - 1
+                  WHEN up <= lf AND up <= dg THEN i - 1
+                  WHEN lf <= dg THEN i
+                  ELSE i - 1 END,
+             CASE WHEN i = 0 THEN j - 1
+                  WHEN j = 0 THEN j
+                  WHEN up <= lf AND up <= dg THEN j
+                  WHEN lf <= dg THEN j - 1
+                  ELSE j - 1 END,
+             cnt + 1,
+             CASE WHEN i > 0 AND j > 0
+                  THEN greatest(maxerr, abs(a[CAST(i AS INT)] - b[CAST(j AS INT)]))
+                  ELSE maxerr END
+      FROM (
+        SELECT s.*,
+               CASE WHEN s.i - 1 = 0 THEN (CASE WHEN s.j = 0 THEN 0.0 ELSE 'infinity'::DOUBLE END)
+                    ELSE mu.val END AS up,
+               ml.val AS lf,
+               CASE WHEN s.i - 1 = 0 THEN (CASE WHEN s.j - 1 = 0 THEN 0.0 ELSE 'infinity'::DOUBLE END)
+                    ELSE md.val END AS dg
+        FROM bt s
+        LEFT JOIN mat mu ON mu.conv_id = s.conv_id AND mu.cell = (s.i - 2) * (s.m + 1) + s.j
+        LEFT JOIN mat ml ON ml.conv_id = s.conv_id AND ml.cell = (s.i - 1) * (s.m + 1) + s.j - 1
+        LEFT JOIN mat md ON md.conv_id = s.conv_id AND md.cell = (s.i - 2) * (s.m + 1) + s.j - 1
+        WHERE NOT (s.i = 0 AND s.j = 0)
+      ) s
+    ),
+    btfin AS (
+      SELECT conv_id, cnt + 1 AS path_len, maxerr FROM bt WHERE i = 0 AND j = 0
+    )
+    SELECT f.conv_id, CAST(n AS INT) AS n_a, CAST(m AS INT) AS n_b,
+           sqrt(dnm) AS dtw, sqrt(dnm) / ((n + m) / 2.0) AS dtw_normalized,
+           CAST(p.path_len AS INT) AS path_len, p.maxerr AS max_path_error
+    FROM fin f JOIN btfin p USING (conv_id)
     UNION ALL
-    SELECT conv_id, CAST(n AS INT), CAST(m AS INT), 'nan'::DOUBLE, 'nan'::DOUBLE
+    SELECT conv_id, CAST(n AS INT), CAST(m AS INT), 'nan'::DOUBLE, 'nan'::DOUBLE,
+           0, 0.0
     FROM dims WHERE n = 0 OR m = 0
     """,
 )
 def dtw_persistence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DTW distance (W14) between each user's value series and its 1-step
-    persistence forecast. The DuckDB twin replays the banded DP cell-by-cell
-    in a recursive CTE (band 64, squared-euclidean cost) — bit-identical
-    float accumulation, so dtw/dtw_normalized hash-match exactly."""
+    """DTW distance + warping-path metrics (W14) between each user's value
+    series and its 1-step persistence forecast. The DuckDB twin replays the
+    banded DP cell-by-cell in a recursive CTE (band 64, squared-euclidean
+    cost) and backtracks the path off the retained DP states — bit-identical
+    float accumulation, so dtw/dtw_normalized/path_len/max_path_error all
+    hash-match. avg/std path error are order-sensitive float reductions
+    (numpy pairwise vs SQL sequential) and stay under pytest instead."""
     from pneuma_treatment_spark.operators.dtw import dtw_compare
 
     e = _load(spark, sf_dir, "events")
@@ -1154,7 +1203,9 @@ def dtw_persistence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("bucket_ts"),
         F.lag("value").over(w).alias("token_rate"),
     )
-    return dtw_compare(base, model, band=64)
+    return dtw_compare(base, model, band=64, with_path=True).drop(
+        "avg_path_error", "std_path_error"
+    )
 
 
 @query("minhash_pairs", None)
@@ -1201,7 +1252,7 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT conv_id, event_type, t + 180, 'pred' FROM g2
     ),
-    grp AS (
+    grp AS MATERIALIZED (
       SELECT conv_id, event_type,
              coalesce(list(t ORDER BY t) FILTER (side = 'gt'), []) AS gt,
              coalesce(list(t ORDER BY t) FILTER (side = 'pred'), []) AS pr
@@ -1215,12 +1266,14 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- the kernel's dict-overwrite semantics.
     stm AS (
       SELECT conv_id, event_type, gt, pr, CAST(0 AS BIGINT) AS pi,
-             list_transform(range(1, len(gt) + 1), x -> 'infinity'::DOUBLE) AS dist
+             list_transform(range(1, len(gt) + 1),
+               x -> {{'d': 'infinity'::DOUBLE, 's': 0.0::DOUBLE}}) AS dist
       FROM grp
       UNION ALL
       SELECT conv_id, event_type, gt, pr, pi + 1,
              CASE WHEN best IS NULL THEN dist
-                  ELSE dist[:CAST(best.gi AS INT) - 1] || [best.d]
+                  ELSE dist[:CAST(best.gi AS INT) - 1]
+                       || [{{'d': best.d, 's': best.s}}]
                        || dist[CAST(best.gi AS INT) + 1:]
              END
       FROM (
@@ -1229,31 +1282,45 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   list_transform(range(1, len(gt) + 1),
                     gi -> {{'d': CAST(abs(pr[CAST(pi AS INT) + 1]
                                           - gt[CAST(gi AS INT)]) AS DOUBLE),
-                            'gi': CAST(gi AS BIGINT)}}),
-                  x -> x.d <= 600 AND x.d < dist[CAST(x.gi AS INT)])))[1] AS best
+                            'gi': CAST(gi AS BIGINT),
+                            's': CAST(pr[CAST(pi AS INT) + 1]
+                                      - gt[CAST(gi AS INT)] AS DOUBLE)}}),
+                  x -> x.d <= 600 AND x.d < dist[CAST(x.gi AS INT)].d)))[1] AS best
         FROM stm WHERE pi < len(pr)
       )
     ),
     fin AS (SELECT * FROM stm WHERE pi = len(pr)),
     res AS (
       SELECT conv_id, event_type,
-             len(list_filter(dist, x -> x < 'infinity'::DOUBLE)) AS tp,
              len(gt) AS ng, len(pr) AS np,
-             list_filter(dist, x -> x < 'infinity'::DOUBLE) AS delays
+             list_transform(list_filter(dist, x -> x.d < 'infinity'::DOUBLE),
+                            x -> x.d) AS ds,
+             list_transform(list_filter(dist, x -> x.d < 'infinity'::DOUBLE),
+                            x -> x.s) AS ss
       FROM fin
     )
     SELECT conv_id, event_type,
-           CAST(tp AS INT) AS tp,
-           CAST(ng - tp AS INT) AS fn,
-           CAST(np - tp AS INT) AS fp,
-           CASE WHEN tp > 0 THEN list_aggregate(delays, 'avg') END AS mean_abs_delay
+           CAST(len(ds) AS INT) AS tp,
+           CAST(ng - len(ds) AS INT) AS fn,
+           CAST(np - len(ds) AS INT) AS fp,
+           CASE WHEN len(ds) > 0 THEN list_aggregate(ds, 'avg') END AS mean_abs_delay,
+           CASE WHEN len(ds) > 0 THEN list_aggregate(ds, 'median') END AS median_abs_delay,
+           CASE WHEN len(ds) > 0 THEN list_aggregate(ss, 'avg') END AS mean_delay,
+           CASE WHEN len(ds) > 0 THEN list_aggregate(ss, 'median') END AS median_delay,
+           CASE WHEN len(ds) > 0 THEN
+             sqrt(len(ds) * CAST(list_aggregate(list_transform(ss, x -> x * x), 'sum') AS BIGINT)
+                  - CAST(list_aggregate(ss, 'sum') AS BIGINT)
+                    * CAST(list_aggregate(ss, 'sum') AS BIGINT)) / len(ds)
+           END AS std_delay
     FROM res
     """,
 )
 def event_match_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy nearest event matching TP/FN/FP + delay (W13/A12). The DuckDB
-    twin replays the greedy-with-stealing loop one prediction per recursive
-    iteration, so even the sequential matcher is hash-gated."""
+    """Greedy nearest event matching TP/FN/FP + delay distribution (W13/A12,
+    23stateFscore.py:229-361). The DuckDB twin replays the
+    greedy-with-stealing loop one prediction per recursive iteration, so
+    even the sequential matcher — and its signed-delay mean/median/std —
+    is hash-gated."""
     from pneuma_treatment_spark.operators.metrics import match_events
     from pneuma_treatment_spark.operators.state import estimate_states, transition_events
 

@@ -97,7 +97,13 @@ def test_match_events_greedy(spark):
     pred = ev([12, 95, 500])  # two matches within ±30s, one FP, one FN
     r = match_events(gt, pred, max_delay=30).collect()[0]
     assert (r["tp"], r["fn"], r["fp"]) == (2, 1, 1)
-    assert r["mean_abs_delay"] == pytest.approx((2 + 5) / 2)
+    # signed delays: +2 (12 vs 10), −5 (95 vs 100)
+    assert r["mean_abs_delay"] == pytest.approx(3.5)
+    assert r["median_abs_delay"] == pytest.approx(3.5)
+    assert r["mean_delay"] == pytest.approx(-1.5)
+    assert r["median_delay"] == pytest.approx(-1.5)
+    # population std of [2, −5]: sqrt(2·29 − 9)/2 = 3.5 (≡ np.std)
+    assert r["std_delay"] == pytest.approx(3.5)
 
 
 def test_dtw_known_values():
@@ -115,3 +121,47 @@ def test_dtw_compare_spark(spark):
     m = _series(spark, [1.0, 2.0, 3.0, 2.0, 1.0])
     r = dtw_compare(t, m).collect()[0]
     assert r["dtw"] == 0.0 and r["dtw_normalized"] == 0.0
+
+
+def test_dtw_path_hand_computed():
+    """Hand-computed DP for a=[0,3,1], b=[1,2,2] (24dtwDistance.py:112-188):
+    D[3][3]=3, optimal path is the pure diagonal (0,0),(1,1),(2,2),(3,3),
+    interior errors all |a_i − b_i| = 1."""
+    from pneuma_treatment_spark.operators.dtw import (
+        backtrack_path,
+        dtw_matrix,
+        path_error_stats,
+    )
+
+    a = np.array([0.0, 3.0, 1.0])
+    b = np.array([1.0, 2.0, 2.0])
+    D = dtw_matrix(a, b)
+    assert D[3][3] == 3.0
+    assert backtrack_path(D) == [(0, 0), (1, 1), (2, 2), (3, 3)]
+    s = path_error_stats(a, b)
+    assert s == {
+        "path_len": 4,
+        "avg_path_error": 1.0,
+        "std_path_error": 0.0,
+        "max_path_error": 1.0,
+    }
+
+
+def test_dtw_path_tie_breaks_up_first():
+    """All-equal cost matrix: the reference's min() takes the FIRST minimal
+    candidate — (i-1, j) before (i, j-1) before diagonal — so the path for
+    a=b=[1,1] walks up then left (length 4), not the diagonal (length 3)."""
+    from pneuma_treatment_spark.operators.dtw import backtrack_path, dtw_matrix
+
+    D = dtw_matrix(np.array([1.0, 1.0]), np.array([1.0, 1.0]))
+    assert backtrack_path(D) == [(0, 0), (1, 1), (1, 2), (2, 2)]
+
+
+def test_dtw_compare_with_path(spark):
+    t = _series(spark, [0.0, 3.0, 1.0])
+    m = _series(spark, [1.0, 2.0, 2.0])
+    r = dtw_compare(t, m, with_path=True).collect()[0]
+    assert r["path_len"] == 4
+    assert r["max_path_error"] == 1.0
+    assert r["avg_path_error"] == pytest.approx(1.0)
+    assert r["std_path_error"] == pytest.approx(0.0)
