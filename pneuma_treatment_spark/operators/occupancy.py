@@ -1,0 +1,113 @@
+"""A3 graph-aware occupancy with neighbor spill.
+
+The reference's signature two-level aggregate
+(``/root/reference/src/09lane_node.py:184-254``) attributes 3/4 of each
+vehicle's length to the node it occupies and 1/4 to the NEXT node on its
+trajectory — but only when that next node is a ``direct`` graph neighbor of
+the current one; the spill is summed into the neighbor's occupancy.
+
+Transcript analog: each event contributes 3/4 of its weight to its own
+(event_type, minute) cell and spills 1/4 into its user's next-different
+event_type, gated by a (src → dst) edge dim. Spark shape:
+
+* next node = the J7 as-of island pattern (one window pass, no per-row
+  rescan like the reference's ``get_next_node_for_vehicle``);
+* the edge gate is a tiny broadcast dim (J8);
+* both attribution legs are plain groupBy sums that meet in one
+  full-outer join — integer weights, so the result is exact
+  (``occ_quarters`` = 4× the occupancy mass; divide once for the rate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_next_node(
+    df: DataFrame,
+    key: str = "user_id",
+    node_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Add ``next_node``: the next DIFFERENT node value in the key's ordered
+    stream (J7 islands — 09lane_node.py:113-145 without the O(T) rescan)."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    prev = F.lag(node_col).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(node_col)), 1).otherwise(0)
+    d = df.withColumn(
+        "__island",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    g = d.groupBy(key, "__island").agg(F.min(node_col).alias("__itype"))
+    nxt = g.withColumn(
+        "next_node",
+        F.lead("__itype").over(Window.partitionBy(key).orderBy("__island")),
+    ).select(key, "__island", "next_node")
+    return d.join(nxt, [key, "__island"]).drop("__island")
+
+
+def occupancy_spill(
+    df: DataFrame,
+    edges: DataFrame,
+    key: str = "user_id",
+    node_col: str = "event_type",
+    weight_col: str = "cents",
+    epoch_col: str = "epoch_s",
+    bucket_sec: int = 60,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per (node, bucket) occupancy with 3/4-own + 1/4-next-neighbor split
+    (09lane_node.py:208-249). ``edges``: (src, dst) direct-connection dim —
+    broadcast. Returns exact integer ``occ_quarters`` (= 3·own + 1·spill)
+    plus the float ``occupancy`` rate in weight units / 4."""
+    bucket = F.timestamp_seconds(
+        F.col(epoch_col) - F.col(epoch_col) % bucket_sec
+    ).alias("bucket_ts")
+    own = (
+        df.groupBy(F.col(node_col).alias("node"), bucket)
+        .agg(F.sum(weight_col).alias("own_w"))
+    )
+    nn = with_next_node(df, key, node_col, order_cols)
+    e = edges.select(F.col("src").alias("__src"), F.col("dst").alias("__dst"))
+    spill = (
+        nn.join(
+            F.broadcast(e),
+            (F.col(node_col) == F.col("__src")) & (F.col("next_node") == F.col("__dst")),
+        )
+        .groupBy(F.col("next_node").alias("node"), bucket)
+        .agg(F.sum(weight_col).alias("spill_w"))
+    )
+    out = own.join(spill, ["node", "bucket_ts"], "full_outer")
+    quarters = 3 * F.coalesce(F.col("own_w"), F.lit(0)) + F.coalesce(
+        F.col("spill_w"), F.lit(0)
+    )
+    return out.select(
+        "node",
+        "bucket_ts",
+        quarters.alias("occ_quarters"),
+        (quarters / F.lit(4.0)).alias("occupancy"),
+    )
+
+
+def transition_edges(
+    df: DataFrame,
+    key: str = "user_id",
+    node_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    min_count: int = 1,
+) -> DataFrame:
+    """Derive the direct-connection dim from observed transitions (the
+    engine has no shapefile graph; the reference's node_dict['direct'] is
+    replaced by transitions seen at least ``min_count`` times — A5 feeding
+    J8)."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    prev = F.lag(node_col).over(w)
+    return (
+        df.withColumn("__prev", prev)
+        .where(F.col("__prev").isNotNull() & (F.col("__prev") != F.col(node_col)))
+        .groupBy(F.col("__prev").alias("src"), F.col(node_col).alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("src", "dst")
+    )

@@ -102,3 +102,47 @@ def transition_events(
     return changed.select(
         key, time_col, F.col("prev_simple"), F.col("simple"), event.alias("event_type")
     )
+
+
+def sign_change_burst(
+    df: DataFrame,
+    key: str = "conv_id",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("ts",),
+    threshold: int = 25,
+) -> DataFrame:
+    """W6 zero-crossing burst detector (``processor.py:75-85``
+    check_sign_change): a key is bursty when two consecutive sign toggles of
+    its series are fewer than ``threshold`` steps apart.
+
+    ``np.where(np.diff(np.sign(x)))`` marks the 0-based index of the element
+    BEFORE each sign change; the minimum difference of consecutive toggle
+    indices is compared to the threshold. Keys with fewer than two toggles
+    report false (the reference raises on np.min of an empty diff; we null
+    min_toggle_gap instead — load-bearing nulls).
+    """
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    sgn = F.signum(F.col(value_col))
+    d = df.select(
+        key,
+        (F.row_number().over(w) - 1).alias("__rn"),
+        sgn.alias("__s"),
+        F.lag(sgn).over(w).alias("__ps"),
+    )
+    tog = d.where(F.col("__ps").isNotNull() & (F.col("__s") != F.col("__ps"))).select(
+        key, (F.col("__rn") - 1).alias("__idx")
+    )
+    wg = Window.partitionBy(key).orderBy("__idx")
+    gaps = tog.withColumn("__gap", F.col("__idx") - F.lag("__idx").over(wg))
+    per_key = gaps.groupBy(key).agg(
+        (F.count(F.lit(1))).alias("n_toggles"),
+        F.min("__gap").alias("min_toggle_gap"),
+    )
+    all_keys = df.select(key).distinct()
+    out = all_keys.join(per_key, key, "left")
+    return out.select(
+        key,
+        F.coalesce(F.col("n_toggles"), F.lit(0)).cast("long").alias("n_toggles"),
+        F.col("min_toggle_gap").cast("long").alias("min_toggle_gap"),
+        F.coalesce(F.col("min_toggle_gap") < threshold, F.lit(False)).alias("is_bursty"),
+    )

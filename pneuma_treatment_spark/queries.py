@@ -403,6 +403,159 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sign_change_burst",
+    f"""
+    WITH d AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, event_id,
+             {_CENTS_SQL} - lag({_CENTS_SQL}) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS diff
+      FROM events
+    ),
+    dd AS (SELECT * FROM d WHERE diff IS NOT NULL),
+    s AS (
+      SELECT conv_id, row_number() OVER w - 1 AS rn,
+             sign(diff) AS sg, lag(sign(diff)) OVER w AS ps
+      FROM dd
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
+    ),
+    tog AS (SELECT conv_id, rn - 1 AS idx FROM s WHERE ps IS NOT NULL AND sg <> ps),
+    gaps AS (SELECT conv_id, idx - lag(idx) OVER
+                      (PARTITION BY conv_id ORDER BY idx) AS gap FROM tog),
+    per AS (SELECT conv_id, count(*) AS n_toggles, min(gap) AS min_toggle_gap
+            FROM gaps GROUP BY 1),
+    keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS conv_id FROM events)
+    SELECT k.conv_id,
+           coalesce(n_toggles, 0) AS n_toggles,
+           min_toggle_gap,
+           coalesce(min_toggle_gap < 25, FALSE) AS is_bursty
+    FROM keys k LEFT JOIN per USING (conv_id)
+    """,
+)
+def sign_change_burst_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 zero-crossing burst detector (processor.py:75-85) over each user's
+    first-difference series: bursty iff two sign toggles sit < 25 steps
+    apart."""
+    from pneuma_treatment_spark.operators.state import sign_change_burst
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    diffs = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        "event_id",
+        (F.col("cents") - F.lag("cents").over(w)).alias("diff_cents"),
+    ).where(F.col("diff_cents").isNotNull())
+    return sign_change_burst(
+        diffs, key="conv_id", value_col="diff_cents", order_cols=("ts", "event_id")
+    )
+
+
+@query(
+    "occupancy_spill_1m",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type, {_CENTS_SQL} AS cents,
+             {_EPOCH_SQL} AS s,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    ),
+    g AS (SELECT user_id, island, min(event_type) AS island_type FROM i GROUP BY 1, 2),
+    nx AS (SELECT user_id, island,
+                  lead(island_type) OVER (PARTITION BY user_id ORDER BY island) AS next_node
+           FROM g),
+    en AS (SELECT i.*, nx.next_node FROM i JOIN nx USING (user_id, island)),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+      WHERE prev_type IS NOT NULL AND prev_type <> event_type
+      GROUP BY 1, 2 HAVING count(*) >= 400
+    ),
+    own AS (
+      SELECT event_type AS node, make_timestamp(((s//60)*60)*1000000) AS bucket_ts,
+             CAST(sum(cents) AS BIGINT) AS own_w
+      FROM en GROUP BY 1, 2
+    ),
+    spill AS (
+      SELECT next_node AS node, make_timestamp(((s//60)*60)*1000000) AS bucket_ts,
+             CAST(sum(cents) AS BIGINT) AS spill_w
+      FROM en JOIN edges ON en.event_type = edges.src AND en.next_node = edges.dst
+      GROUP BY 1, 2
+    )
+    SELECT coalesce(own.node, spill.node) AS node,
+           coalesce(own.bucket_ts, spill.bucket_ts) AS bucket_ts,
+           3*coalesce(own_w, 0) + coalesce(spill_w, 0) AS occ_quarters,
+           (3*coalesce(own_w, 0) + coalesce(spill_w, 0)) / 4.0 AS occupancy
+    FROM own FULL OUTER JOIN spill
+      ON own.node = spill.node AND own.bucket_ts = spill.bucket_ts
+    """,
+)
+def occupancy_spill_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 graph-aware occupancy spill (09lane_node.py:184-254): 3/4 of each
+    event's weight lands on its own (type, minute) cell, 1/4 spills to the
+    user's next-different type when that transition is a 'direct' edge
+    (observed ≥ 400 times — the engine's stand-in for the shapefile graph)."""
+    from pneuma_treatment_spark.operators.occupancy import (
+        occupancy_spill,
+        transition_edges,
+    )
+
+    e = _events(spark, sf_dir)
+    edges = transition_edges(e, min_count=400)
+    return occupancy_spill(e, edges)
+
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact×dims star join at real join cardinality (J2/J8 shape; TPC-H
+    Q5-family): lineitem joins orders (filtered, pushdown-checked) then the
+    customer and nation dims — both explicitly broadcast, asserted in
+    tests/test_plans.py. Revenue goes through integer cents for a
+    deterministic hash."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("revenue_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # S1/S3 wide-record ingest parser (01data_formatter.py:18-63)
 # ---------------------------------------------------------------------------

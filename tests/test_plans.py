@@ -39,6 +39,15 @@ def test_broadcast_join_for_small_mask(spark):
     assert "BroadcastHashJoin" in _plan(df)
 
 
+def test_star_join_broadcasts_dims(spark):
+    """revenue_by_nation must broadcast customer and nation (J8) and push
+    the orderdate filter into the orders scan."""
+    df = q.revenue_by_nation(spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
 def test_whole_stage_codegen_on_rollup(spark):
     df = q.rollup_1m(spark, SF)
     df.collect()  # AQE finalizes the physical plan on execution
