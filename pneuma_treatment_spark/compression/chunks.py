@@ -59,23 +59,48 @@ def write_chunks(
     from pyspark.sql import functions as F
 
     def enc_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (conv_id, tier), g in pdf.groupby(["conv_id", "tier"], sort=False):
-            g = g.sort_values("bucket_ts")
-            ts_us = g["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        # one bucket-wide sort + numpy slice bounds instead of a pandas
+        # groupby over millions of tiny series (per-group frame construction
+        # dominated the stage, not the encoding)
+        pdf = pdf.sort_values(["conv_id", "tier", "bucket_ts"]).reset_index(drop=True)
+        conv = pdf["conv_id"].to_numpy()
+        tier = pdf["tier"].to_numpy()
+        ts64 = pdf["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = {m: pdf[m].to_numpy(dtype=np.float64) for m in metrics}
+        n = len(pdf)
+        change = np.zeros(n, dtype=bool)
+        if n:
+            change[0] = True
+            change[1:] = (conv[1:] != conv[:-1]) | (tier[1:] != tier[:-1])
+        bounds = np.append(np.flatnonzero(change), n)
+        c_conv: list = []
+        c_tier: list = []
+        c_metric: list = []
+        c_np: list = []
+        c_start: list = []
+        c_end: list = []
+        c_chunk: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ts_us = ts64[s:e]
             for m in metrics:
-                rows.append(
-                    {
-                        "conv_id": conv_id,
-                        "tier": tier,
-                        "metric": m,
-                        "n_points": len(g),
-                        "start_ts": g["bucket_ts"].iloc[0],
-                        "end_ts": g["bucket_ts"].iloc[-1],
-                        "chunk": encode_chunk(ts_us, g[m].to_numpy(dtype=np.float64)),
-                    }
-                )
-        return pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
+                c_conv.append(conv[s])
+                c_tier.append(tier[s])
+                c_metric.append(m)
+                c_np.append(e - s)
+                c_start.append(ts_us[0])
+                c_end.append(ts_us[-1])
+                c_chunk.append(encode_chunk(ts_us, vals[m][s:e]))
+        return pd.DataFrame(
+            {
+                "conv_id": c_conv,
+                "tier": c_tier,
+                "metric": c_metric,
+                "n_points": np.array(c_np, dtype=np.int32),
+                "start_ts": pd.to_datetime(np.array(c_start, dtype=np.int64), unit="us"),
+                "end_ts": pd.to_datetime(np.array(c_end, dtype=np.int64), unit="us"),
+                "chunk": c_chunk,
+            }
+        )
 
     keyed = rollup.withColumn(
         "__g", F.pmod(F.xxhash64("conv_id"), F.lit(group_buckets)).cast("int")

@@ -57,28 +57,68 @@ class TreatmentConfig:
         return int(4.0 * self.gauss_sigma + 0.5) + 1
 
 
-def _stage_a_kernel(pdf: pd.DataFrame, cfg: TreatmentConfig) -> pd.DataFrame:
-    pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
-    x = K.interpolate_linear_both(pdf["token_count"].to_numpy(dtype=np.float64))
-    pdf["tokens_filled"] = x
-    pdf["sg_tokens"] = K.savgol_poly1(x, cfg.sg_window)
-    med = K.rolling_median(x, cfg.med_window)
+def _group_bounds(pdf: pd.DataFrame, group_cols: tuple[str, ...]) -> np.ndarray:
+    """Slice boundaries of consecutive equal-key runs in a pre-sorted frame:
+    returns indices [0, b1, ..., len]. Replaces a pandas groupby iteration —
+    at millions of ~20-row series the per-group DataFrame construction was
+    the dominant treatment cost, not the math."""
+    n = len(pdf)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in group_cols:
+        v = pdf[c].to_numpy()
+        change[1:] |= v[1:] != v[:-1]
+    return np.append(np.flatnonzero(change), n)
+
+
+def _stage_a_kernel(
+    pdf: pd.DataFrame, cfg: TreatmentConfig, group_cols: tuple[str, ...]
+) -> pd.DataFrame:
+    """Whole-bucket stage A: per-series kernels over numpy slices (the
+    bucket arrives sorted by (*group_cols, turn_idx))."""
+    x = pdf["token_count"].to_numpy(dtype=np.float64)
+    n = len(x)
+    filled = np.empty(n)
+    sg = np.empty(n)
+    med = np.empty(n)
+    raw = np.empty(n, dtype=bool)
+    b = _group_bounds(pdf, group_cols)
+    for s, e in zip(b[:-1], b[1:]):
+        seg = K.interpolate_linear_both(x[s:e])
+        filled[s:e] = seg
+        sg[s:e] = K.savgol_poly1(seg, cfg.sg_window)
+        m = K.rolling_median(seg, cfg.med_window)
+        med[s:e] = m
+        raw[s:e] = K.anomaly_mask(seg, m, cfg.tol)
+    pdf["tokens_filled"] = filled
+    pdf["sg_tokens"] = sg
     pdf["med_tokens"] = med
-    pdf["raw_anomaly"] = K.anomaly_mask(x, med, cfg.tol)
+    pdf["raw_anomaly"] = raw
     return pdf
 
 
-def _stage_d_kernel(pdf: pd.DataFrame, cfg: TreatmentConfig) -> pd.DataFrame:
-    pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
-    if bool(pdf["conv_has_anomaly"].iloc[0]):
-        # anomalous branch: gaussian-smooth the treated series, derive
-        # (processor.py:401-431: new_speed -> g_ns -> g_na)
-        g_ns = K.gaussian1d(pdf["treated_tokens"].to_numpy(np.float64), cfg.gauss_sigma)
-    else:
-        # passthrough branch (processor.py:433-448): keep the SG series
-        g_ns = pdf["sg_tokens"].to_numpy(np.float64)
+def _stage_d_kernel(
+    pdf: pd.DataFrame, cfg: TreatmentConfig, group_cols: tuple[str, ...]
+) -> pd.DataFrame:
+    treated = pdf["treated_tokens"].to_numpy(np.float64)
+    sg = pdf["sg_tokens"].to_numpy(np.float64)
+    has_anom = pdf["conv_has_anomaly"].to_numpy()
+    n = len(treated)
+    g_ns = np.empty(n)
+    g_na = np.empty(n)
+    b = _group_bounds(pdf, group_cols)
+    for s, e in zip(b[:-1], b[1:]):
+        if bool(has_anom[s]):
+            # anomalous branch: gaussian-smooth the treated series, derive
+            # (processor.py:401-431: new_speed -> g_ns -> g_na)
+            seg = K.gaussian1d(treated[s:e], cfg.gauss_sigma)
+        else:
+            # passthrough branch (processor.py:433-448): keep the SG series
+            seg = sg[s:e]
+        g_ns[s:e] = seg
+        g_na[s:e] = K.gradient(seg, K.DT)
     pdf["g_ns"] = g_ns
-    pdf["g_na"] = K.gradient(g_ns, K.DT)
+    pdf["g_na"] = g_na
     return pdf
 
 
@@ -117,8 +157,8 @@ def _apply(df: DataFrame, kernel, added_fields, cfg: TreatmentConfig, halo: int,
         out_schema = _added(keyed.schema, added_fields)
 
         def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            parts = [kernel(g, cfg) for _, g in pdf.groupby("conv_id", sort=False)]
-            return pd.concat(parts, ignore_index=True)
+            pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            return kernel(pdf, cfg, ("conv_id",))
 
         return keyed.groupBy("__g").applyInPandas(run_bucket, out_schema).drop("__g")
 
@@ -143,13 +183,10 @@ def _apply(df: DataFrame, kernel, added_fields, cfg: TreatmentConfig, halo: int,
     grouped_schema = _added(exploded.schema, added_fields)
 
     def run_bucket_chunked(pdf: pd.DataFrame) -> pd.DataFrame:
-        parts = []
-        for (_, chunk), g in pdf.groupby(["conv_id", "__chunk"], sort=False):
-            res = kernel(g.drop(columns=["__chunk", "__g"]), cfg)
-            res["__chunk"] = chunk
-            res["__g"] = g["__g"].iloc[0]
-            parts.append(res[(res["turn_idx"] // L) == chunk])
-        return pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(["conv_id", "__chunk", "turn_idx"]).reset_index(drop=True)
+        res = kernel(pdf, cfg, ("conv_id", "__chunk"))
+        # keep each row's own-chunk output only (halo rows drop here)
+        return res[(res["turn_idx"] // L) == res["__chunk"]]
 
     res = exploded.groupBy("__g").applyInPandas(run_bucket_chunked, grouped_schema)
     return res.drop("__chunk", "__g")

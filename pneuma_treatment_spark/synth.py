@@ -65,8 +65,10 @@ def conv_sizes(n_convs: int, seed: int, mega_turns: int = 0, max_turns: int = 40
     return sizes
 
 
-def _gen_one_conv(seed: int, conv_idx: int, n_turns: int) -> pd.DataFrame:
-    """Synthesize one conversation. Pure function of (seed, conv_idx, n_turns)."""
+def _gen_one_conv_arrays(seed: int, conv_idx: int, n_turns: int) -> dict[str, np.ndarray]:
+    """Synthesize one conversation as column arrays. Pure function of
+    (seed, conv_idx, n_turns) — the single source of truth for both the
+    driver-side and distributed paths."""
     rng = _conv_rng(seed, conv_idx)
     # Regime-switching inter-turn gaps: bursty (~3 s) vs idle (~240 s).
     regimes = np.zeros(n_turns, dtype=np.int8)
@@ -90,22 +92,30 @@ def _gen_one_conv(seed: int, conv_idx: int, n_turns: int) -> pd.DataFrame:
     tool_mask = (roles == "assistant") & (rng.random(n_turns) < 0.3)
     tools[tool_mask] = _TOOLS[rng.integers(0, len(_TOOLS), size=int(tool_mask.sum()))]
 
-    pdf = pd.DataFrame(
-        {
-            "conv_id": f"conv{conv_idx:08d}",
-            "turn_idx": np.arange(n_turns, dtype=np.int32),
-            "role": roles,
-            "text": texts,
-            "tool": tools,
-            "ts": ts,
-        }
-    )
+    cols = {
+        "conv_id": np.full(n_turns, f"conv{conv_idx:08d}", dtype=object),
+        "turn_idx": np.arange(n_turns, dtype=np.int32),
+        "role": roles,
+        "text": texts,
+        "tool": tools,
+        "ts": ts,
+    }
     # Drop ~2% of turns (never the first) → turn_idx gaps for gap-fill tests.
     if n_turns > 4:
         keep = rng.random(n_turns) >= 0.02
         keep[0] = True
-        pdf = pdf[keep].reset_index(drop=True)
-    return pdf
+        cols = {k: v[keep] for k, v in cols.items()}
+    return cols
+
+
+def _concat_convs(parts: list[dict[str, np.ndarray]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    )
+
+
+def _gen_one_conv(seed: int, conv_idx: int, n_turns: int) -> pd.DataFrame:
+    return _concat_convs([_gen_one_conv_arrays(seed, conv_idx, n_turns)])
 
 
 def generate_transcripts_pdf(
@@ -139,9 +149,21 @@ def generate_transcripts(
     bc_sizes = spark.sparkContext.broadcast(sizes)
 
     def gen(batches):
+        # accumulate many small conversations into one output frame — one
+        # Arrow batch per ~64k rows instead of one per conversation
+        target = 65536
         for pdf in batches:
+            parts: list[dict[str, np.ndarray]] = []
+            acc = 0
             for conv_idx in pdf["id"].to_numpy():
-                yield _gen_one_conv(seed, int(conv_idx), int(bc_sizes.value[conv_idx]))
+                p = _gen_one_conv_arrays(seed, int(conv_idx), int(bc_sizes.value[conv_idx]))
+                parts.append(p)
+                acc += len(p["turn_idx"])
+                if acc >= target:
+                    yield _concat_convs(parts)
+                    parts, acc = [], 0
+            if parts:
+                yield _concat_convs(parts)
 
     ids = spark.range(first_conv, first_conv + n_convs, numPartitions=partitions)
     return ids.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
