@@ -46,9 +46,30 @@ def cosine_topk(
     return out.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
+
+
+def _lcg_unit(k: int) -> float:
+    """Two LCG rounds → uniform in [0, 1). Integer arithmetic only, so any
+    engine (including the DuckDB oracle) reproduces the exact double."""
+    x = (_LCG_A * k + _LCG_C) % _LCG_M
+    x = (_LCG_A * x + _LCG_C) % _LCG_M
+    return x / _LCG_M
+
+
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
-    rng = np.random.default_rng(seed)
-    return rng.normal(0, 1, (n_planes, dim)).tolist()
+    """Deterministic hyperplanes, component (i, j) = 2·lcg(seed, i, j) − 1.
+
+    Uniform (not gaussian) components — for sign-of-projection LSH the
+    family only needs symmetry around 0. Integer-hash construction instead
+    of a numpy RNG so the SQL oracle can rebuild the planes bit-for-bit."""
+    return [
+        [
+            2.0 * _lcg_unit(seed * 1_000_003 + i * 10_007 + j) - 1.0
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
 
 
 def with_lsh_bucket(

@@ -1378,10 +1378,48 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_load(spark, sf_dir, "documents"), max_hamming=16)
 
 
-@query("lsh_topk", None)
+@query(
+    "lsh_topk",
+    """
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                      unnest(embedding)::DOUBLE AS v
+               FROM embeddings),
+    js AS (SELECT DISTINCT j FROM e),
+    planes AS (
+      SELECT t1.i, js.j,
+             2.0 * (((1103515245 * ((1103515245 * (7*1000003 + t1.i*10007 + js.j)
+                                     + 12345) % 2147483648)
+                      + 12345) % 2147483648) / 2147483648.0) - 1.0 AS p
+      FROM range(8) t1(i), js
+    ),
+    bits AS (
+      SELECT e.vec_id, pl.i, CASE WHEN sum(e.v * pl.p) > 0 THEN 1 ELSE 0 END AS bit
+      FROM e JOIN planes pl USING (j) GROUP BY 1, 2
+    ),
+    buck AS (SELECT vec_id, CAST(sum(bit * (1::BIGINT << i)) AS BIGINT) AS b
+             FROM bits GROUP BY 1),
+    qb AS (SELECT b FROM buck WHERE vec_id = 0),
+    cand AS (SELECT buck.vec_id FROM buck, qb WHERE buck.b = qb.b),
+    q AS (SELECT unnest(embedding)::DOUBLE AS qv,
+                 generate_subscripts(embedding, 1) AS i2
+          FROM embeddings WHERE vec_id = 0),
+    ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                  generate_subscripts(embedding, 1) AS i2
+           FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
+    dotp AS (SELECT ev.vec_id, sum(ev.v * q.qv) AS dot, sum(ev.v * ev.v) AS na
+             FROM ev JOIN q USING (i2) GROUP BY 1),
+    qn AS (SELECT sqrt(sum(qv * qv)) AS n FROM q)
+    SELECT vec_id, round(dot / (sqrt(na) * qn.n), 6) AS cos_sim
+    FROM dotp, qn
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
 def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (scale path of knn_cosine;
-    recall vs brute force checked in tests/test_similarity.py)."""
+    recall vs brute force checked in tests/test_dedup_similarity.py). The
+    hyperplanes come from an integer-LCG hash, so the DuckDB twin rebuilds
+    the exact planes, replays the bucketing, and hash-gates the top-k (cos
+    rounded to 6 dp on both sides — unordered float sums differ in ulps)."""
     from pneuma_treatment_spark.operators.similarity import (
         lsh_topk,
         random_hyperplanes,
