@@ -37,6 +37,10 @@ HEADLINE = [
     "simhash_pairs",
     "quality_score",
     "knn_cosine",
+    "wide_record_parse",
+    "occupancy_spill_1m",
+    "revenue_by_nation",
+    "cosine_dup_pairs",
     "treatment_pipeline",
 ]
 

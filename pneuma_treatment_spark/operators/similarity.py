@@ -109,6 +109,73 @@ def lsh_topk(
     return cosine_topk(cand, list(map(float, q)), k, id_col, vec_col)
 
 
+def cosine_band_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 4,
+    band_planes: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded sign-LSH (the dedup-family
+    member over vectors): a pair is a candidate when it shares the FULL
+    sign-bucket of ANY band (OR-amplification, the minhash banding shape —
+    no all-pairs join), then candidates are verified by exact cosine
+    (rounded to 6 dp) ≥ threshold. Planes are the integer-LCG family, so a
+    SQL oracle replays candidate generation exactly."""
+    dim = len(emb.select(vec_col).head()[0])
+    planes = random_hyperplanes(dim, n_bands * band_planes, seed)
+    d = as_double(F.col(vec_col))
+
+    def band_bucket(b: int) -> Column:
+        bucket = F.lit(0).cast("long")
+        for i in range(band_planes):
+            p = planes[b * band_planes + i]
+            pcol = F.array(*[F.lit(float(x)) for x in p])
+            bucket = bucket + F.shiftleft((_dot(d, pcol) > 0).cast("long"), i)
+        return bucket
+
+    banded = emb.select(
+        F.col(id_col).alias("id"),
+        d.alias("__v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "__v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__v").alias("va"),
+            F.col("b.__v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(_norm2(F.col("va"))) * F.sqrt(_norm2(F.col("vb")))),
+        6,
+    )
+    return (
+        cand.withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer + cell-pruned search
 # ---------------------------------------------------------------------------

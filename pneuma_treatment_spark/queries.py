@@ -1853,6 +1853,60 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cosine_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                      unnest(embedding)::DOUBLE AS v
+               FROM embeddings),
+    js AS (SELECT DISTINCT j FROM e),
+    planes AS (
+      SELECT t1.k, js.j,
+             2.0 * (((1103515245 * ((1103515245 * (7*1000003 + t1.k*10007 + js.j)
+                                     + 12345) % 2147483648)
+                      + 12345) % 2147483648) / 2147483648.0) - 1.0 AS p
+      FROM range(16) t1(k), js
+    ),
+    bits AS (
+      SELECT e.vec_id, pl.k,
+             CASE WHEN sum(e.v * pl.p) > 0 THEN 1 ELSE 0 END AS bit
+      FROM e JOIN planes pl USING (j) GROUP BY 1, 2
+    ),
+    buck AS (
+      SELECT vec_id, k // 4 AS band,
+             CAST(sum(bit * (1::BIGINT << (k % 4))) AS BIGINT) AS bucket
+      FROM bits GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buck a JOIN buck b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    vv AS (
+      SELECT p.id_a, p.id_b,
+             sum(ea.v * eb.v) AS dot, sum(ea.v * ea.v) AS na, sum(eb.v * eb.v) AS nb
+      FROM pairs p
+      JOIN e ea ON ea.vec_id = p.id_a
+      JOIN e eb ON eb.vec_id = p.id_b AND eb.j = ea.j
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+    FROM vv WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+    """,
+)
+def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the vector member of the dedup
+    family): banded sign-LSH candidates (4 bands × 4 planes, OR-amplified —
+    no all-pairs join) verified by exact cosine ≥ 0.4 (this synth table has
+    no true near-dups; the threshold sits where the candidate set is
+    non-trivial). LCG planes → the oracle replays candidates exactly."""
+    from pneuma_treatment_spark.operators.similarity import cosine_band_pairs
+
+    return cosine_band_pairs(
+        _load(spark, sf_dir, "embeddings"), threshold=0.4, n_bands=4, band_planes=4, seed=7
+    )
+
+
 @query("ivf_topk", None)
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell-pruned approximate nearest neighbors (the second ANN scale

@@ -152,6 +152,33 @@ def test_lsh_topk_recall(emb):
     assert len(approx & brute) >= 5
 
 
+def test_cosine_band_pairs_recall(emb):
+    """Banded-LSH verified pairs ⊆ exact pairs, and same-cluster near-pairs
+    (cos ≈ 0.99 in the 4-cluster fixture) are nearly all recovered."""
+    pdf = emb.toPandas()
+    M = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    ids = pdf["vec_id"].to_numpy()
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(sims[i, j], 6) >= 0.95
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_band_pairs(emb, threshold=0.95).collect()
+    }
+    assert got <= {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(sims[i, j], 6) >= 0.95 - 1e-9
+    }
+    assert len(got) >= 0.9 * len(exact) > 0
+
+
 def test_ivf_topk_recall(emb):
     from pneuma_treatment_spark.operators.similarity import (
         cosine_topk,
