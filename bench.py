@@ -78,6 +78,10 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen/reader warmup so the first timed query doesn't absorb
+    # cluster start-up (~4s showed up inside rollup_1m in earlier rounds)
+    _force(spark.read.parquet(f"{SF_DIR}/events.parquet").limit(1000))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.Q[name]

@@ -111,3 +111,34 @@ def transition_edges(
         .where(F.col("n") >= min_count)
         .select("src", "dst")
     )
+
+
+def compare_keyed_sets(
+    a: DataFrame,
+    b: DataFrame,
+    key: str = "src",
+    member_col: str = "dst",
+) -> DataFrame:
+    """J9 graph-compare anti-join (08audo_compare_graph.py:20-60): keys whose
+    NORMALIZED member sets (sorted, order-insensitive) differ between two
+    graph snapshots — including keys present on only one side. The sets are
+    compared as comma-joined sorted strings so the result is flat/scalar
+    (driver-friendly) and the comparison is one full-outer join."""
+
+    def norm(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy(key).agg(
+            F.concat_ws(",", F.sort_array(F.collect_set(member_col))).alias(alias)
+        )
+
+    j = norm(a, "set_a").join(norm(b, "set_b"), key, "full_outer")
+    status = (
+        F.when(F.col("set_a").isNull(), "only_right")
+        .when(F.col("set_b").isNull(), "only_left")
+        .otherwise("different")
+    )
+    differs = (
+        F.col("set_a").isNull()
+        | F.col("set_b").isNull()
+        | (F.col("set_a") != F.col("set_b"))
+    )
+    return j.where(differs).select(key, status.alias("status"), "set_a", "set_b")

@@ -404,6 +404,50 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_diff",
+    """
+    WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)))//2 AS mid FROM events),
+    t1 AS (SELECT event_type AS dst,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM events, m WHERE epoch_us(ts) <= m.mid),
+    e1 AS (SELECT src, dst FROM t1 WHERE src IS NOT NULL AND src <> dst
+           GROUP BY 1, 2 HAVING count(*) >= 195),
+    s1 AS (SELECT src, string_agg(dst, ',' ORDER BY dst) AS set_a FROM e1 GROUP BY 1),
+    t2 AS (SELECT event_type AS dst,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           FROM events, m WHERE epoch_us(ts) > m.mid),
+    e2 AS (SELECT src, dst FROM t2 WHERE src IS NOT NULL AND src <> dst
+           GROUP BY 1, 2 HAVING count(*) >= 195),
+    s2 AS (SELECT src, string_agg(dst, ',' ORDER BY dst) AS set_b FROM e2 GROUP BY 1)
+    SELECT coalesce(s1.src, s2.src) AS src,
+           CASE WHEN s1.src IS NULL THEN 'only_right'
+                WHEN s2.src IS NULL THEN 'only_left'
+                ELSE 'different' END AS status,
+           set_a, set_b
+    FROM s1 FULL OUTER JOIN s2 ON s1.src = s2.src
+    WHERE s1.src IS NULL OR s2.src IS NULL OR set_a <> set_b
+    """,
+)
+def graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 graph-compare anti-join (08audo_compare_graph.py:20-60): the
+    transition graph of the first time half vs the second (edges observed
+    ≥ 195 times), reporting nodes whose normalized neighbor sets differ."""
+    from pneuma_treatment_spark.operators.occupancy import (
+        compare_keyed_sets,
+        transition_edges,
+    )
+
+    e = _load(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    mid = e.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("mid"))
+    e = e.crossJoin(F.broadcast(mid))
+    g1 = transition_edges(e.where(F.col("us") <= F.col("mid")), min_count=195)
+    g2 = transition_edges(e.where(F.col("us") > F.col("mid")), min_count=195)
+    return compare_keyed_sets(g1, g2)
+
+
+@query(
     "sign_change_burst",
     f"""
     WITH d AS (
