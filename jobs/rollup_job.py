@@ -106,9 +106,24 @@ def run_pipeline(
                 )
             ),
         )
+        # Gap-fill on the NARROW series only and join the payload columns
+        # back once: text/tool otherwise ride through the densify join plus
+        # two window sorts (~3x the bytes on this bandwidth-bound stage);
+        # the join-back moves them exactly once, and filled rows get null
+        # payloads either way.
         filled = stage(
             "filled",
-            lambda io: gap_fill(ingest, lerp_cols=("token_count",), lerp_ts_cols=("ts",)),
+            lambda io: gap_fill(
+                ingest.select(
+                    "conv_id", "turn_idx", "role", "ts", "token_count", "is_tool_call"
+                ),
+                lerp_cols=("token_count",),
+                lerp_ts_cols=("ts",),
+            ).join(
+                ingest.select("conv_id", "turn_idx", "text", "tool"),
+                ["conv_id", "turn_idx"],
+                "left",
+            ),
             deps=["ingest"],
         )
         # The kernels never read text/tool — shuttling the payload columns
