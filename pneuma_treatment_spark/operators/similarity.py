@@ -184,23 +184,34 @@ def ivf_train_centroids(
     emb: DataFrame,
     n_cells: int = 16,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = 7,
     sample_rows: int = 4096,
+    iters: int = 10,
 ) -> list[list[float]]:
     """Train the coarse quantizer: k-means on a bounded driver-side sample
     (IVF codebooks are tiny and trained once; the sample cap keeps the
-    driver safe at any table size). Deterministic given the seed."""
-    pdf = emb.select(vec_col).limit(sample_rows).toPandas()
+    driver safe at any table size).
+
+    Fully replayable construction (the SQL oracle reruns Lloyd's exactly):
+    the sample is the first ``sample_rows`` rows by ``id_col`` (a LIMIT
+    without ORDER BY is partition-order-dependent), init is the first
+    ``n_cells`` sample points, ties in assignment go to the lowest cell, and
+    centroids are rounded to 6 dp after every mean update so the two
+    engines' different float-summation orders cannot drift apart."""
+    pdf = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    )
     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
-    for _ in range(10):  # fixed-iteration Lloyd's — deterministic
+    k = min(n_cells, len(X))
+    cent = X[:k].copy()
+    for _ in range(iters):  # fixed-iteration Lloyd's — deterministic
         d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(cent)):
+        assign = d2.argmin(axis=1)  # ties → lowest cell (first occurrence)
+        for c in range(k):
             m = assign == c
             if m.any():
-                cent[c] = X[m].mean(axis=0)
+                cent[c] = np.round(X[m].mean(axis=0), 6)
     return cent.tolist()
 
 

@@ -1951,10 +1951,91 @@ def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_topk", None)
+@query(
+    "ivf_topk",
+    """
+    WITH RECURSIVE
+    samp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4096),
+    pts AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+             unnest(embedding)::DOUBLE AS v
+      FROM samp),
+    js AS MATERIALIZED (SELECT DISTINCT j FROM pts),
+    dims AS MATERIALIZED (SELECT CAST(max(j) AS INT) AS d FROM pts),
+    init AS MATERIALIZED (
+      SELECT list(v ORDER BY cell, j) AS clist FROM (
+        SELECT i.cell, p.j, p.v
+        FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+              FROM samp ORDER BY vec_id LIMIT 8) i
+        JOIN pts p USING (vec_id))),
+    -- 10 fixed Lloyd iterations, centroids carried as one flat list row;
+    -- means rounded to 6 dp per iteration = the engine's construction, so
+    -- the codebooks agree bit-for-bit (verified: max diff 0.0)
+    lloyd AS (
+      SELECT 0 AS it, clist FROM init
+      UNION ALL
+      SELECT s.it + 1,
+        (SELECT list(coalesce(mu, s.clist[g.cell * (SELECT d FROM dims) + g.j])
+                     ORDER BY g.cell, g.j)
+         FROM (SELECT r.cell, js.j FROM range(8) r(cell), js) g
+         LEFT JOIN (
+           SELECT b.cell, p2.j, round(avg(p2.v), 6) AS mu
+           FROM (
+             SELECT vec_id, cell FROM (
+               SELECT a.vec_id, a.cell,
+                      row_number() OVER (PARTITION BY a.vec_id ORDER BY a.d2, a.cell) AS rn
+               FROM (
+                 SELECT p.vec_id, r.cell,
+                        sum((p.v - s.clist[r.cell * (SELECT d FROM dims) + p.j])
+                            * (p.v - s.clist[r.cell * (SELECT d FROM dims) + p.j])) AS d2
+                 FROM pts p, range(8) r(cell)
+                 GROUP BY 1, 2) a
+             ) WHERE rn = 1
+           ) b JOIN pts p2 USING (vec_id)
+           GROUP BY 1, 2
+         ) m ON m.cell = g.cell AND m.j = g.j
+        ) AS clist
+      FROM lloyd s WHERE s.it < 10),
+    cents AS MATERIALIZED (
+      SELECT r.cell, js.j, l.clist[r.cell * (SELECT d FROM dims) + js.j] AS c
+      FROM (SELECT clist FROM lloyd WHERE it = 10) l, range(8) r(cell), js),
+    alle AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT d2s.vec_id, d2s.cell,
+               row_number() OVER (PARTITION BY d2s.vec_id ORDER BY d2s.d2, d2s.cell) AS rn
+        FROM (SELECT e.vec_id, c.cell, sum((e.v - c.c) * (e.v - c.c)) AS d2
+              FROM alle e JOIN cents c USING (j) GROUP BY 1, 2) d2s
+      ) WHERE rn = 1),
+    q AS (SELECT j, v AS qv FROM alle WHERE vec_id = 0),
+    qcells AS (
+      SELECT cell FROM (
+        SELECT c.cell, sum((q.qv - c.c) * (q.qv - c.c)) AS d2
+        FROM q JOIN cents c USING (j) GROUP BY 1
+      ) ORDER BY d2, cell LIMIT 3),
+    cand AS (SELECT vec_id FROM assign WHERE cell IN (SELECT cell FROM qcells)),
+    dotp AS (
+      SELECT e.vec_id, sum(e.v * q.qv) AS dot, sum(e.v * e.v) AS na
+      FROM alle e JOIN q USING (j)
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1),
+    qn AS (SELECT sqrt(sum(qv * qv)) AS n FROM q),
+    top AS (
+      SELECT vec_id, round(dot / (sqrt(na) * qn.n), 6) AS cos_sim
+      FROM dotp, qn
+      ORDER BY cos_sim DESC, vec_id LIMIT 10)
+    SELECT vec_id, cos_sim FROM top WHERE vec_id <> 0
+    """,
+)
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell-pruned approximate nearest neighbors (the second ANN scale
-    path next to lsh_topk; recall vs brute force in tests/test_dedup_similarity)."""
+    path next to lsh_topk; recall vs brute force in
+    tests/test_dedup_similarity). The codebook construction is fully
+    replayable (ordered sample, first-k init, 6-dp-rounded Lloyd means), so
+    the DuckDB twin retrains the same centroids and hash-gates the top-k."""
     from pneuma_treatment_spark.operators.similarity import (
         ivf_topk,
         ivf_train_centroids,
