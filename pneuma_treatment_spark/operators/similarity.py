@@ -136,9 +136,11 @@ def cosine_band_pairs(
             bucket = bucket + F.shiftleft((_dot(d, pcol) > 0).cast("long"), i)
         return bucket
 
+    # Candidate generation carries IDS ONLY — the banded self-join plus the
+    # pair dedup would otherwise shuffle two full vectors per candidate row;
+    # the vectors join back once per side after the dedup.
     banded = emb.select(
         F.col(id_col).alias("id"),
-        d.alias("__v"),
         F.explode(
             F.array(
                 *[
@@ -147,27 +149,32 @@ def cosine_band_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "__v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.__v").alias("va"),
-            F.col("b.__v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # norms computed ONCE per vector on the join-back sides, not per pair
+    cand = ids.join(
+        emb.select(
+            F.col(id_col).alias("id_a"), d.alias("va"), F.sqrt(_norm2(d)).alias("__na")
+        ),
+        "id_a",
+    ).join(
+        emb.select(
+            F.col(id_col).alias("id_b"), d.alias("vb"), F.sqrt(_norm2(d)).alias("__nb")
+        ),
+        "id_b",
+    )
     cos = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (F.sqrt(_norm2(F.col("va"))) * F.sqrt(_norm2(F.col("vb")))),
-        6,
+        _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6
     )
     return (
         cand.withColumn("cos_sim", cos)
