@@ -83,8 +83,14 @@ def _gen_one_conv_arrays(seed: int, conv_idx: int, n_turns: int) -> dict[str, np
     roles = _ROLES[np.arange(n_turns) % 2]
     n_words = rng.integers(1, 40, size=n_turns)
     word_ids = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
-    bounds = np.cumsum(n_words)[:-1]
-    texts = np.array([" ".join(w) for w in np.split(_WORDS[word_ids], bounds)], dtype=object)
+    # python-list slicing: np.split's per-slice array construction was ~40%
+    # of the whole generator
+    wl = _WORDS[word_ids].tolist()
+    ends = np.cumsum(n_words)
+    starts = np.concatenate([[0], ends[:-1]])
+    texts = np.array(
+        [" ".join(wl[s:e]) for s, e in zip(starts, ends)], dtype=object
+    )
     # ~1.5% null text
     texts[rng.random(n_turns) < 0.015] = None
 
