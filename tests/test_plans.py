@@ -70,6 +70,24 @@ def test_partition_pruning_on_p_day(spark, transcripts_df, tmp_path):
     assert files_scanned < all_rows
 
 
+def test_gap_fill_single_exchange(spark, transcripts_df):
+    """Join-free densify: the grid explodes inside the same key-partitioned
+    window pass the fills use — the whole gap-fill must cost ONE hash
+    exchange (the old grid-groupBy + left-join shape cost three)."""
+    from pneuma_treatment_spark.operators.gapfill import gap_fill
+    from pneuma_treatment_spark.operators.rollup import with_turn_metrics
+
+    df = gap_fill(
+        with_turn_metrics(transcripts_df),
+        lerp_cols=("token_count",),
+        lerp_ts_cols=("ts",),
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+
+
 def test_cascade_avoids_extra_shuffle(spark):
     """1h-from-1m must add exactly one exchange over the 1m agg (the re-key
     by coarser bucket), not re-read raw twice."""
