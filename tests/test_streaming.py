@@ -107,3 +107,33 @@ def test_stateful_sessionization_matches_batch(spark, transcripts_df, tmp_path):
     b = want[cols].sort_values(["conv_id", "session_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert len(a) > 50  # non-trivial workload
+
+
+def test_streaming_dedup_keeps_first_within_watermark(spark, tmp_path):
+    """dedup_stream == batch keep-first when duplicates arrive inside the
+    watermark horizon."""
+    import datetime as dt
+
+    from pneuma_treatment_spark.streaming.dedup_stream import dedup_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        text = f"doc number {i % 10}"  # 10 distinct texts, 4 copies each
+        rows.append(("c1", i, "user", text, None, base + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    src = str(tmp_path / "dedup_src")
+    # ONE in-order file: FileStreamSource orders micro-batches by file mtime
+    # with arbitrary ties (CLAUDE.md sharp edge), and keep-FIRST is defined
+    # by arrival order
+    df.coalesce(1).sortWithinPartitions("turn_idx").write.mode("overwrite").parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files=2)
+    q = run_to_memory_sink(dedup_stream(stream, watermark="2 hours"), name="t_dedup")
+    assert q.lastProgress is not None
+    got = spark.table("t_dedup").toPandas()
+    # one survivor per distinct text, and it is the FIRST arrival
+    assert len(got) == 10
+    assert set(got["turn_idx"]) == set(range(10))
