@@ -158,9 +158,12 @@ def run_pipeline(
             ts_col="bucket_ts",
             bucketed=False,
         )
+        # chunk the INT partials only — rates re-derive exactly on read
+        # (compression/chunks.points_with_rates); full-entropy rate doubles
+        # barely XOR-compress while integer-valued doubles halve
         cols = [
-            "conv_id", "tier", "bucket_ts", "turn_count", "token_rate",
-            "tool_call_rate", "turns_norm",
+            "conv_id", "tier", "bucket_ts", "turn_count", "token_sum",
+            "tool_calls",
         ]
         stage(
             "chunks",

@@ -18,7 +18,12 @@ from pyspark.sql import types as T
 
 from pneuma_treatment_spark.compression.gorilla import decode_chunk, encode_chunk
 
-DEFAULT_METRICS = ("turn_count", "token_rate", "tool_call_rate", "turns_norm")
+# Store the EXACT integer partials, never derived float rates: the XOR
+# codec compresses integer-valued doubles ~2x (trailing-zero mantissas)
+# while a full-entropy rate barely compresses (measured 1.04x), and rates
+# re-derive exactly from the ints on read — the same algebraic-tier rule the
+# rollup cascade follows.
+DEFAULT_METRICS = ("turn_count", "token_sum", "tool_calls")
 
 CHUNK_SCHEMA = T.StructType(
     [
@@ -134,3 +139,24 @@ def read_chunks(chunks: DataFrame) -> DataFrame:
                 yield pd.concat(out, ignore_index=True)
 
     return chunks.mapInPandas(dec, POINT_SCHEMA)
+
+
+def points_with_rates(points: DataFrame) -> DataFrame:
+    """Pivot decoded (metric, value) points back to wide rows and re-derive
+    the float rates from the stored integer partials — bit-identical to the
+    rollup tier the chunks were written from."""
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.operators.rollup import TIERS, _with_rates
+
+    wide = (
+        points.groupBy("conv_id", "tier", "bucket_ts")
+        .pivot("metric", list(DEFAULT_METRICS))
+        .agg(F.first("value"))
+    )
+    for m in DEFAULT_METRICS:
+        wide = wide.withColumn(m, F.col(m).cast("long"))
+    secs = F.create_map(
+        *[x for t, s in TIERS.items() for x in (F.lit(t), F.lit(s))]
+    )[F.col("tier")]
+    return _with_rates(wide, secs)

@@ -114,17 +114,20 @@ def rollup_from_tier(finer: DataFrame, from_tier: str, to_tier: str) -> DataFram
     return _with_rates(out, secs)
 
 
-def _with_rates(df: DataFrame, window_secs: int) -> DataFrame:
+def _with_rates(df: DataFrame, window_secs) -> DataFrame:
     """Derived float metrics. Computed from exact int partials → deterministic.
 
     ``token_rate`` ≙ the reference's windowed avg_speed (rounded 2,
     ``09lane_node.py:358``); ``turns_norm`` ≙ log-normalized total_vehicles
     (``09lane_node.py:414-417``: log(1+x)/log(15), rounded 4).
+    ``window_secs``: the tier width — an int, or a Column when rows mix tiers
+    (the chunk read path re-derives rates for all tiers at once).
     """
+    secs = F.lit(window_secs) if isinstance(window_secs, int) else window_secs
     return (
         df.withColumn(
             "token_rate",
-            F.round(F.col("token_sum").cast("double") / F.lit(window_secs), 2),
+            F.round(F.col("token_sum").cast("double") / secs.cast("double"), 2),
         )
         .withColumn(
             "tool_call_rate",

@@ -74,19 +74,42 @@ def test_compression_ratio_rollup_like():
 
 
 def test_spark_chunk_tables(spark, transcripts_df):
-    from pneuma_treatment_spark.compression.chunks import read_chunks, write_chunks
+    """Chunks store the INT partials; the read path re-derives every rate
+    bit-for-bit equal to the tier the chunks were written from."""
+    from pneuma_treatment_spark.compression.chunks import (
+        points_with_rates,
+        read_chunks,
+        write_chunks,
+    )
     from pneuma_treatment_spark.operators.rollup import rollup_raw, with_turn_metrics
 
     tier = rollup_raw(with_turn_metrics(transcripts_df), "1m")
     chunks = write_chunks(tier)
-    points = read_chunks(chunks).toPandas()
-    want = tier.select("conv_id", "bucket_ts", "token_rate").toPandas()
-    got = points[points.metric == "token_rate"]
+    got = points_with_rates(read_chunks(chunks)).toPandas()
+    cols = ["turn_count", "token_sum", "tool_calls",
+            "token_rate", "tool_call_rate", "turns_norm"]
+    want = tier.select("conv_id", "bucket_ts", *cols).toPandas()
     assert len(got) == len(want)
-    merged = want.merge(
-        got.rename(columns={"value": "decoded"}), on=["conv_id", "bucket_ts"]
-    )
+    merged = want.merge(got, on=["conv_id", "bucket_ts"], suffixes=("", "_dec"))
     assert len(merged) == len(want)
-    lhs = merged["token_rate"].to_numpy(np.float64)
-    rhs = merged["decoded"].to_numpy(np.float64)
-    np.testing.assert_array_equal(lhs.view(np.uint64), rhs.view(np.uint64))
+    for c in cols:
+        lhs = merged[c].to_numpy(np.float64)
+        rhs = merged[f"{c}_dec"].to_numpy(np.float64)
+        np.testing.assert_array_equal(lhs.view(np.uint64), rhs.view(np.uint64), c)
+
+
+def test_chunk_compression_on_partials(spark, transcripts_df):
+    """Storing int partials (not rate doubles) must actually compress: the
+    whole chunk table, headers included, beats 16 bytes/point."""
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.compression.chunks import write_chunks
+    from pneuma_treatment_spark.operators.rollup import rollup_raw, with_turn_metrics
+
+    tier = rollup_raw(with_turn_metrics(transcripts_df), "1h")
+    r = (
+        write_chunks(tier)
+        .agg(F.sum(F.length("chunk")).alias("b"), F.sum("n_points").alias("p"))
+        .collect()[0]
+    )
+    assert r["b"] < r["p"] * 16
