@@ -75,3 +75,50 @@ def test_interpolate_matches_pandas(vals):
         pd.Series(x).interpolate(method="linear", limit_direction="both").to_numpy()
     )
     assert np.allclose(got, want, equal_nan=True, rtol=0, atol=1e-9)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6),
+        min_size=1, max_size=60,
+    ),
+    window=st.sampled_from([5, 9, 25]),
+)
+def test_savgol_poly1_equals_least_squares_line(vals, window):
+    """Independent derivation (the scipy cross-check skips in this
+    container): SG with polyorder 1 is the least-squares LINE over the
+    edge-padded window evaluated at the center — which equals the window
+    mean. Check against np.polyfit per position."""
+    x = np.array(vals, dtype=np.float64)
+    got = K.savgol_poly1(x, window)
+    r = window // 2
+    padded = np.pad(x, r, mode="edge")
+    t = np.arange(window, dtype=np.float64)
+    for i in range(len(x)):
+        win = padded[i : i + window]
+        coef = np.polyfit(t, win, 1)
+        center = coef[0] * r + coef[1]
+        assert abs(got[i] - center) <= 1e-7 * max(1.0, abs(center))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, min_value=-1e4, max_value=1e4),
+        min_size=1, max_size=40,
+    ),
+    sigma=st.sampled_from([1.5, 4.0, 12.0]),
+)
+def test_gaussian1d_equals_direct_weighted_sum(vals, sigma):
+    """Independent derivation: per-point truncated gaussian dot product over
+    the symmetric-padded series (scipy's 'reflect' mode)."""
+    x = np.array(vals, dtype=np.float64)
+    got = K.gaussian1d(x, sigma)
+    radius = int(4.0 * sigma + 0.5)
+    w = np.exp(-0.5 * (np.arange(-radius, radius + 1) / sigma) ** 2)
+    w /= w.sum()
+    padded = np.pad(x, radius, mode="symmetric")
+    for i in range(len(x)):
+        direct = float(np.dot(padded[i : i + 2 * radius + 1], w[::-1]))
+        assert abs(got[i] - direct) <= 1e-9 * max(1.0, abs(direct))
