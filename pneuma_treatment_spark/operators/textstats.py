@@ -86,6 +86,81 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", score)
 
 
+#: BPE-ish pre-tokenizer (GPT-2 family shape, lookahead-free so both Spark's
+#: Java regex and DuckDB's RE2 accept it): contraction suffixes, letter runs,
+#: digit runs, punctuation runs, stray apostrophes
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+|'"
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Subword-style token counting: the number of BPE-ish pre-tokenizer
+    matches (a deterministic proxy for tokenizer cost — whitespace counting
+    undercounts punctuation-heavy text badly)."""
+    # F.lit keeps the pattern out of SQL string-literal escaping (it holds
+    # quotes and backslashes)
+    n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return docs.where(F.col(text_col).isNotNull()).select(
+        id_col, n.alias("n_bpe_tokens")
+    )
+
+
+#: rolling-hash parameters (Rabin-Karp polynomial, winnowing per the public
+#: MOSS scheme): char k-grams, window of minima
+FP_K, FP_W, FP_BASE, FP_MOD = 5, 4, 257, 1_000_000_007
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprinting by rolling hash + winnowing: polynomial
+    Rabin-Karp hashes over normalized char k-grams, then the distinct minima
+    of each w-window (documents sharing any fingerprint are near-dup
+    candidates). Pure integer arithmetic end-to-end — the SQL oracle
+    reproduces every fingerprint exactly. One output row per (doc,
+    fingerprint); short docs (< k chars) hash their whole text.
+
+    Shape: chars explode to rows and everything is lead/min WINDOW math —
+    an earlier nested array-lambda formulation (slice-per-position inside
+    transform) re-evaluated the inner arrays per output element, O(L²·k)
+    per document."""
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = docs.where(F.col(text_col).isNotNull() & (F.trim(text_col) != "")).select(
+        id_col, norm.alias("__s")
+    )
+    chars = base.select(
+        id_col, F.posexplode(F.split("__s", "")).alias("pos", "__ch")
+    ).select(id_col, "pos", F.ascii("__ch").cast("long").alias("c"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    h = F.col("c")
+    for j in range(1, FP_K):
+        h = (h * FP_BASE + F.lead("c", j).over(w)) % FP_MOD
+    # gram at pos i spans chars i..i+k-1; lead past the end nulls it out
+    grams = chars.withColumn("h", h).where(F.col("h").isNotNull())
+    nh = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    m = F.min("h").over(w.rowsBetween(0, FP_W - 1))
+    mins = (
+        grams.withColumn("nh", nh)
+        .withColumn("m", m)
+        .where(
+            ((F.col("nh") <= FP_W) & (F.col("pos") == 0))
+            | ((F.col("nh") > FP_W) & (F.col("pos") <= F.col("nh") - FP_W))
+        )
+        .select(id_col, F.col("m").alias("fp"))
+    )
+    # short docs (< k chars): one fingerprint = fold over the whole text
+    short = base.where(F.length("__s") < FP_K).select(
+        id_col,
+        F.aggregate(
+            F.transform(F.split("__s", ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+        ).alias("fp"),
+    )
+    return mins.unionByName(short).distinct()
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set
     (word-order-insensitive content identity) plus the exact-content hash."""

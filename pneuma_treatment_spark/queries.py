@@ -1146,6 +1146,69 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+|''')
+           ) AS n_bpe_tokens
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (the subword-cost proxy next to the
+    whitespace counter; lookahead-free so RE2 and Java regex agree)."""
+    from pneuma_treatment_spark.operators.textstats import token_count_bpe
+
+    return token_count_bpe(_load(spark, sf_dir, "documents"))
+
+
+@query(
+    "winnow_fingerprints",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    cs AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) + 1),
+                            i -> CAST(ascii(substring(s, CAST(i AS INT), 1)) AS BIGINT)) AS c,
+             len(s) AS L
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, L, c,
+             CASE WHEN L >= 5 THEN
+               list_transform(range(1, L - 3),
+                 i -> list_reduce(c[CAST(i AS INT):CAST(i + 4 AS INT)],
+                                  (a, b) -> (a * 257 + b) % 1000000007))
+             END AS grams
+      FROM cs
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN L < 5 THEN [list_reduce(c, (a, b) -> (a * 257 + b) % 1000000007)]
+                    WHEN len(grams) <= 4 THEN [list_min(grams)]
+                    ELSE list_transform(range(1, len(grams) - 2),
+                                        i -> list_min(grams[CAST(i AS INT):CAST(i + 3 AS INT)]))
+               END) AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM f
+    """,
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (Rabin-Karp char 5-grams, window-4
+    minima — the MOSS scheme): one row per (doc, fingerprint), exact integer
+    math mirrored in the oracle."""
+    from pneuma_treatment_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_load(spark, sf_dir, "documents"))
+
+
+@query(
     "ngram_jaccard_pairs",
     r"""
     WITH d AS (
