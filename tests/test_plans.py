@@ -70,6 +70,28 @@ def test_partition_pruning_on_p_day(spark, transcripts_df, tmp_path):
     assert files_scanned < all_rows
 
 
+def test_ann_cell_partition_pruning(spark, tmp_path):
+    """The ANN scale path: embeddings written partitioned by ivf_cell let an
+    nprobe query prune to its cells at the scan (PartitionFilters), reading
+    only nprobe/n_cells of the data."""
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.operators.similarity import (
+        ivf_train_centroids,
+        with_ivf_cell,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_train_centroids(emb, n_cells=8, seed=7)
+    path = str(tmp_path / "emb_by_cell")
+    with_ivf_cell(emb, cents).write.partitionBy("ivf_cell").parquet(path)
+    pruned = spark.read.parquet(path).where(F.col("ivf_cell").isin([0, 3]))
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan.split("PartitionFilters", 1)[1][:200]
+    assert pruned.count() < spark.read.parquet(path).count()
+
+
 def test_gap_fill_single_exchange(spark, transcripts_df):
     """Join-free densify: the grid explodes inside the same key-partitioned
     window pass the fills use — the whole gap-fill must cost ONE hash
