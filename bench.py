@@ -41,6 +41,7 @@ HEADLINE = [
     "occupancy_spill_1m",
     "revenue_by_nation",
     "cosine_dup_pairs",
+    "winnow_fingerprints",
     "treatment_pipeline",
 ]
 
