@@ -121,3 +121,36 @@ def test_cascade_avoids_extra_shuffle(spark):
     # exactly two hash repartitions: raw→(type,1m-bucket), 1m→(type,1h-bucket)
     assert final.count("Exchange hashpartitioning") == 2
     assert final.count("FileScan parquet") == 1  # raw scanned once
+
+
+def test_bucketed_tables_join_without_exchange(spark, transcripts_df, tmp_path):
+    """Two tables bucketed on conv_id must sort-merge join with ZERO
+    exchanges — the co-located-join layout for a 100 TB deployment."""
+    from pneuma_treatment_spark.operators.rollup import with_turn_metrics
+
+    io = TableIO(spark, str(tmp_path / "bt"), n_buckets=4)
+    m = with_turn_metrics(transcripts_df)
+    io.write_bucketed(m.select("conv_id", "turn_idx", "token_count"), "bt_a")
+    io.write_bucketed(
+        m.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns")),
+        "bt_b",
+        sort_cols=("conv_id",),
+    )
+    # disable broadcast so the planner must pick the shuffle-free bucketed
+    # SMJ (at 100 TB neither side broadcasts; this test's tables are tiny).
+    # NB: the join key must BE the bucket key — Spark requires all join keys
+    # co-partitioned (requireAllClusterKeysForCoPartition defaults true).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = io.read_table("bt_a").join(io.read_table("bt_b"), ["conv_id"])
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in final
+        assert "SortMergeJoin" in final
+        assert j.count() == m.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
