@@ -46,12 +46,17 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def sessionize_stream(stream: DataFrame, gap_sec: int = 1800) -> DataFrame:
+def sessionize_stream(
+    stream: DataFrame, gap_sec: int = 1800, close_idle: bool = False
+) -> DataFrame:
     """conv_id-keyed stateful sessionization over a transcript stream.
 
-    Emits closed sessions only; the trailing open session per conv stays in
-    state (it would close on a later batch or state timeout in a long-lived
-    job). Input needs columns (conv_id, ts).
+    Emits closed sessions; a new turn arriving after the gap closes the
+    previous session. With ``close_idle=True`` an EVENT-TIME TIMEOUT also
+    closes a session once the stream's watermark passes its end + gap — so
+    a conversation that simply goes quiet still emits (and its state is
+    dropped; without timeouts, idle-key state accumulates forever on a
+    100 TB ingest). Input needs columns (conv_id, ts).
     """
     gap_us = gap_sec * 1_000_000
 
@@ -59,6 +64,22 @@ def sessionize_stream(stream: DataFrame, gap_sec: int = 1800) -> DataFrame:
         key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
+        if close_idle and state.hasTimedOut:
+            sess_id, start_us, last_us, n_turns = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "conv_id": conv_id,
+                        "session_id": sess_id,
+                        "start_us": start_us,
+                        "end_us": last_us,
+                        "n_turns": n_turns,
+                    }
+                ],
+                columns=[f.name for f in SESSION_SCHEMA.fields],
+            )
+            return
         if state.exists:
             sess_id, start_us, last_us, n_turns = state.get
         else:
@@ -97,14 +118,22 @@ def sessionize_stream(stream: DataFrame, gap_sec: int = 1800) -> DataFrame:
                     last_us = max(last_us, t)
                     n_turns += 1
         state.update((sess_id, start_us, last_us, n_turns))
+        if close_idle and last_us is not None:
+            # close once the watermark passes the open session's end + gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_sec * 1000)
         yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
 
-    return stream.groupBy("conv_id").applyInPandasWithState(
+    src = stream.withWatermark("ts", "0 seconds") if close_idle else stream
+    return src.groupBy("conv_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if close_idle
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -137,3 +137,46 @@ def test_streaming_dedup_keeps_first_within_watermark(spark, tmp_path):
     # one survivor per distinct text, and it is the FIRST arrival
     assert len(got) == 10
     assert set(got["turn_idx"]) == set(range(10))
+
+
+def test_sessionize_idle_timeout_closes_sessions(spark, tmp_path):
+    """With close_idle, a conversation that goes quiet emits its session once
+    the watermark (driven by OTHER convs' later events) passes end + gap."""
+    import datetime as dt
+    import glob
+    import os
+    import time as _time
+
+    from pneuma_treatment_spark.streaming.sessionize import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1)
+    # c1 talks for 3 minutes then goes silent; c2 talks for an hour
+    rows = [("c1", base + dt.timedelta(minutes=m)) for m in range(4)]
+    rows += [("c2", base + dt.timedelta(minutes=m)) for m in range(0, 61, 5)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    src = str(tmp_path / "idle_src")
+    (
+        df.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(src)
+    )
+    for i, f in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+        t = _time.time() - 1000 + i * 10
+        os.utime(f, (t, t))
+
+    stream = spark.readStream.schema("conv_id string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_sec=600, close_idle=True)
+        .writeStream.format("memory").queryName("idle_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("idle_sessions").toPandas()
+    c1 = got[got.conv_id == "c1"]
+    # c1 never spoke again — only the event-time timeout can emit it
+    assert len(c1) == 1
+    assert c1.iloc[0]["n_turns"] == 4
+    base_us = int(base.timestamp()) * 1_000_000
+    assert c1.iloc[0]["start_us"] == base_us
+    assert c1.iloc[0]["end_us"] == base_us + 3 * 60_000_000
