@@ -115,16 +115,24 @@ class TableIO:
         — the join that co-locates the fact tables of a 100 TB deployment.
         The directory-partition layout of :meth:`write` prunes scans; THIS
         layout kills shuffles. (Plain ``save()`` cannot carry bucket
-        metadata — bucketing lives in the catalog, hence ``saveAsTable``.)"""
+        metadata — bucketing lives in the catalog, hence ``saveAsTable``;
+        the catalog name is namespaced by this TableIO's root so two
+        instances sharing a session cannot clobber each other.)"""
         (
             df.write.mode("overwrite")
             .format("parquet")
             .bucketBy(self.n_buckets, key_col)
             .sortBy(*sort_cols)
             .option("path", self.path(table))
-            .saveAsTable(table)
+            .saveAsTable(self._catalog_name(table))
         )
+
+    def _catalog_name(self, table: str) -> str:
+        import hashlib
+
+        suffix = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        return f"{table}__{suffix}"
 
     def read_table(self, table: str) -> DataFrame:
         """Read a bucketed catalog table (bucket metadata intact)."""
-        return self.spark.table(table)
+        return self.spark.table(self._catalog_name(table))

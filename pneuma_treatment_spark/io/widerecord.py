@@ -51,9 +51,13 @@ def parse_wide_meta(
 ) -> DataFrame:
     """Meta dim table from wide records: (id, type, dist, avg_speed) — the
     reference's df_meta (01data_formatter.py:35-37). Small next to the long
-    table → broadcast-join it downstream (SURVEY.md §2 J8)."""
+    table → broadcast-join it downstream (SURVEY.md §2 J8).
+
+    A record needs only its 4 meta fields here — the reference emits the
+    meta row even for a trajectory with zero complete 6-tuples, so the
+    fact parser's ≥10-token floor does NOT apply."""
     toks = _tokens(value_col, sep)
-    base = lines.where(F.size(toks) >= 10).select(toks.alias("__t"))
+    base = lines.where(F.size(toks) >= 4).select(toks.alias("__t"))
     t = F.col("__t")
     out = base.select(
         t[0].alias("id"),

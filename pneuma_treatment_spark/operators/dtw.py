@@ -163,23 +163,30 @@ def dtw_compare(
     band: int | None = None,
     group_buckets: int = 64,
     with_path: bool = False,
+    tie_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-key DTW between two series tables. ``with_path=True`` adds the
     warping-path metrics (path_len, avg/std/max path error —
-    24dtwDistance.py:112-155) at O(n·m) memory per key."""
+    24dtwDistance.py:112-155) at O(n·m) memory per key.
+
+    ``tie_cols`` join/order alongside ``time_col`` — without one, duplicate
+    per-key timestamps cross-multiply in the alignment join and sort
+    nondeterministically (same hazard the sessionizer's tie_cols guards)."""
     schema = (
         T.StructType(list(DTW_SCHEMA.fields) + PATH_FIELDS) if with_path else DTW_SCHEMA
     )
-    a = truth.select(key, time_col, F.col(value_col).alias("va"))
-    b = model.select(key, time_col, F.col(value_col).alias("vb"))
-    j = a.join(b, [key, time_col], "full_outer").withColumn(
+    jcols = [key, time_col, *tie_cols]
+    a = truth.select(*jcols, F.col(value_col).alias("va"))
+    b = model.select(*jcols, F.col(value_col).alias("vb"))
+    j = a.join(b, jcols, "full_outer").withColumn(
         "__g", F.pmod(F.xxhash64(key), F.lit(group_buckets)).cast("int")
     )
+    sort_cols = [time_col, *tie_cols]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for k, g in pdf.groupby(key, sort=False):
-            g = g.sort_values(time_col)
+            g = g.sort_values(sort_cols)
             va = g["va"].to_numpy(np.float64)
             vb = g["vb"].to_numpy(np.float64)
             va_c = va[~np.isnan(va)]

@@ -126,8 +126,10 @@ def compare_keyed_sets(
     (driver-friendly) and the comparison is one full-outer join."""
 
     def norm(df: DataFrame, alias: str) -> DataFrame:
+        # U+001F (unit separator) — a comma-joined form would collide for
+        # members that themselves contain commas ({'x,y'} vs {'x','y'})
         return df.groupBy(key).agg(
-            F.concat_ws(",", F.sort_array(F.collect_set(member_col))).alias(alias)
+            F.concat_ws("\x1f", F.sort_array(F.collect_set(member_col))).alias(alias)
         )
 
     j = norm(a, "set_a").join(norm(b, "set_b"), key, "full_outer")

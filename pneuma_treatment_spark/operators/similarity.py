@@ -123,8 +123,20 @@ def cosine_band_pairs(
     sign-bucket of ANY band (OR-amplification, the minhash banding shape —
     no all-pairs join), then candidates are verified by exact cosine
     (rounded to 6 dp) ≥ threshold. Planes are the integer-LCG family, so a
-    SQL oracle replays candidate generation exactly."""
-    dim = len(emb.select(vec_col).head()[0])
+    SQL oracle replays candidate generation exactly.
+
+    Cross-engine caveat (accepted risk, shared by all sign-LSH oracles):
+    bucket bits are sign tests of float dot products whose summation ORDER
+    differs between engines; a projection within reassociation error of
+    exactly 0 (~1e-13 relative) could flip a bit. No integer formulation
+    exists without fixing the fold order on both sides, and the probability
+    is negligible for real embeddings."""
+    head = emb.select(vec_col).head()
+    if head is None:  # empty input → empty pair set, not a TypeError
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
+    dim = len(head[0])
     planes = random_hyperplanes(dim, n_bands * band_planes, seed)
     d = as_double(F.col(vec_col))
 
@@ -203,23 +215,41 @@ def ivf_train_centroids(
     Fully replayable construction (the SQL oracle reruns Lloyd's exactly):
     the sample is the first ``sample_rows`` rows by ``id_col`` (a LIMIT
     without ORDER BY is partition-order-dependent), init is the first
-    ``n_cells`` sample points, ties in assignment go to the lowest cell, and
-    centroids are rounded to 6 dp after every mean update so the two
-    engines' different float-summation orders cannot drift apart."""
+    ``n_cells`` sample points, and ties in assignment go to the lowest cell.
+
+    Distance comparisons run on HALF_UP-quantized integer coordinates
+    (floor(x·10⁶ + 0.5)): float distance sums are order-sensitive, and a
+    parallel engine (DuckDB under concurrency, observed) re-orders them per
+    run — near-equidistant cells then flip nondeterministically. Integer
+    distances are exact, so every rank is order-independent. Centroid means
+    likewise come from exact integer sums (Σ quantized) with two fixed float
+    divisions — a float AVG is order-sensitive too, and the resulting
+    codebook drift cascaded through Lloyd's under load."""
     pdf = (
         emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
     )
     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    Xq = _quantize(X)
     k = min(n_cells, len(X))
     cent = X[:k].copy()
     for _ in range(iters):  # fixed-iteration Lloyd's — deterministic
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cq = _quantize(cent)
+        d2 = ((Xq[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)  # ties → lowest cell (first occurrence)
         for c in range(k):
             m = assign == c
             if m.any():
-                cent[c] = np.round(X[m].mean(axis=0), 6)
+                # exact int sum → /count → /Q: order-independent, replayable
+                cent[c] = Xq[m].sum(axis=0) / int(m.sum()) / IVF_Q
     return cent.tolist()
+
+
+#: distance-quantization scale shared by engine and SQL oracle
+IVF_Q = 1_000_000
+
+
+def _quantize(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * IVF_Q + 0.5).astype(np.int64)
 
 
 def with_ivf_cell(
@@ -228,15 +258,18 @@ def with_ivf_cell(
     """Assign each vector to its nearest centroid — pure column expressions
     (one squared-distance aggregate per centroid, argmin via least+CASE), so
     assignment runs JVM-side over any table size. Write the table partitioned
-    by ivf_cell and queries prune to nprobe cells."""
+    by ivf_cell and queries prune to nprobe cells. Distances are exact
+    integer sums over quantized coordinates (see ivf_train_centroids)."""
     d = as_double(F.col(vec_col))
+    q = F.transform(d, lambda x: F.floor(x * IVF_Q + 0.5))
+    cq = _quantize(np.asarray(centroids, dtype=np.float64))
 
-    def dist2(c):
-        ccol = F.array(*[F.lit(float(x)) for x in c])
-        diff = F.zip_with(d, ccol, lambda a, b: a - b)
-        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+    def dist2(ci):
+        ccol = F.array(*[F.lit(int(x)) for x in ci])
+        diff = F.zip_with(q, ccol, lambda a, b: a - b)
+        return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
 
-    dists = [dist2(c) for c in centroids]
+    dists = [dist2(c) for c in cq]
     best = F.least(*dists) if len(dists) > 1 else dists[0]
     cell = F.lit(0)
     for i in range(len(dists) - 1, -1, -1):
@@ -254,9 +287,10 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: rank centroids by distance to the query driver-side, scan
-    only the ``nprobe`` nearest cells, brute-force within them."""
+    only the ``nprobe`` nearest cells, brute-force within them. Cell ranking
+    uses the same exact integer distances as the assignment."""
     q = np.asarray(query_vec, dtype=np.float64)
     cent = np.asarray(centroids, dtype=np.float64)
-    order = np.argsort(((cent - q) ** 2).sum(axis=1))[:nprobe]
+    order = np.argsort(((_quantize(cent) - _quantize(q)) ** 2).sum(axis=1))[:nprobe]
     cand = emb_celled.where(F.col("ivf_cell").isin([int(c) for c in order]))
     return cosine_topk(cand, [float(v) for v in q], k, id_col, vec_col)

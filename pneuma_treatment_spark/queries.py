@@ -412,13 +412,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM events, m WHERE epoch_us(ts) <= m.mid),
     e1 AS (SELECT src, dst FROM t1 WHERE src IS NOT NULL AND src <> dst
            GROUP BY 1, 2 HAVING count(*) >= 195),
-    s1 AS (SELECT src, string_agg(dst, ',' ORDER BY dst) AS set_a FROM e1 GROUP BY 1),
+    s1 AS (SELECT src, string_agg(dst, chr(31) ORDER BY dst) AS set_a FROM e1 GROUP BY 1),
     t2 AS (SELECT event_type AS dst,
                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
            FROM events, m WHERE epoch_us(ts) > m.mid),
     e2 AS (SELECT src, dst FROM t2 WHERE src IS NOT NULL AND src <> dst
            GROUP BY 1, 2 HAVING count(*) >= 195),
-    s2 AS (SELECT src, string_agg(dst, ',' ORDER BY dst) AS set_b FROM e2 GROUP BY 1)
+    s2 AS (SELECT src, string_agg(dst, chr(31) ORDER BY dst) AS set_b FROM e2 GROUP BY 1)
     SELECT coalesce(s1.src, s2.src) AS src,
            CASE WHEN s1.src IS NULL THEN 'only_right'
                 WHEN s2.src IS NULL THEN 'only_left'
@@ -468,7 +468,9 @@ def graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (PARTITION BY conv_id ORDER BY idx) AS gap FROM tog),
     per AS (SELECT conv_id, count(*) AS n_toggles, min(gap) AS min_toggle_gap
             FROM gaps GROUP BY 1),
-    keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS conv_id FROM events)
+    -- keys come from the DIFF series (the operator's input), not raw events:
+    -- a single-event user has no diff row and therefore no output row
+    keys AS (SELECT DISTINCT conv_id FROM dd)
     SELECT k.conv_id,
            coalesce(n_toggles, 0) AS n_toggles,
            min_toggle_gap,
@@ -661,6 +663,10 @@ _WIDE_LINES_SQL = f"""
     p AS (
       SELECT string_split(value, '; ') AS t FROM l
       WHERE len(string_split(value, '; ')) >= 10
+    ),
+    p4 AS (
+      SELECT string_split(value, '; ') AS t FROM l
+      WHERE len(string_split(value, '; ')) >= 4
     )
 """
 
@@ -708,7 +714,7 @@ def wide_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t[1] AS id, t[2] AS type,
            TRY_CAST(t[3] AS DOUBLE) AS dist,
            TRY_CAST(t[4] AS DOUBLE) AS avg_speed
-    FROM p
+    FROM p4
     WHERE TRY_CAST(t[3] AS DOUBLE) IS NOT NULL
       AND TRY_CAST(t[4] AS DOUBLE) IS NOT NULL
     """,
@@ -1456,16 +1462,18 @@ def dtw_persistence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("ts").alias("bucket_ts"),
+        "event_id",
         F.col("value").alias("token_rate"),
     )
     model = e.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("ts").alias("bucket_ts"),
+        "event_id",
         F.lag("value").over(w).alias("token_rate"),
     )
-    return dtw_compare(base, model, band=64, with_path=True).drop(
-        "avg_path_error", "std_path_error"
-    )
+    return dtw_compare(
+        base, model, band=64, with_path=True, tie_cols=("event_id",)
+    ).drop("avg_path_error", "std_path_error")
 
 
 @query("minhash_pairs", None)
@@ -2016,67 +2024,43 @@ def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ivf_topk",
+    # The Lloyd iterations are UNROLLED relational CTEs (generated below):
+    # a recursive CTE carrying the centroid list was nondeterministic under
+    # DuckDB's internal multithreading (same clist, different projections —
+    # an engine race, not float ordering), and all arithmetic is exact
+    # integer sums so accumulation order cannot matter either.
     """
-    WITH RECURSIVE
+    WITH
     samp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4096),
     pts AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS j,
-             unnest(embedding)::DOUBLE AS v
+             unnest(embedding)::DOUBLE AS v,
+             CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS qv
       FROM samp),
-    js AS MATERIALIZED (SELECT DISTINCT j FROM pts),
-    dims AS MATERIALIZED (SELECT CAST(max(j) AS INT) AS d FROM pts),
-    init AS MATERIALIZED (
-      SELECT list(v ORDER BY cell, j) AS clist FROM (
-        SELECT i.cell, p.j, p.v
-        FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-              FROM samp ORDER BY vec_id LIMIT 8) i
-        JOIN pts p USING (vec_id))),
-    -- 10 fixed Lloyd iterations, centroids carried as one flat list row;
-    -- means rounded to 6 dp per iteration = the engine's construction, so
-    -- the codebooks agree bit-for-bit (verified: max diff 0.0)
-    lloyd AS (
-      SELECT 0 AS it, clist FROM init
-      UNION ALL
-      SELECT s.it + 1,
-        (SELECT list(coalesce(mu, s.clist[g.cell * (SELECT d FROM dims) + g.j])
-                     ORDER BY g.cell, g.j)
-         FROM (SELECT r.cell, js.j FROM range(8) r(cell), js) g
-         LEFT JOIN (
-           SELECT b.cell, p2.j, round(avg(p2.v), 6) AS mu
-           FROM (
-             SELECT vec_id, cell FROM (
-               SELECT a.vec_id, a.cell,
-                      row_number() OVER (PARTITION BY a.vec_id ORDER BY a.d2, a.cell) AS rn
-               FROM (
-                 SELECT p.vec_id, r.cell,
-                        sum((p.v - s.clist[r.cell * (SELECT d FROM dims) + p.j])
-                            * (p.v - s.clist[r.cell * (SELECT d FROM dims) + p.j])) AS d2
-                 FROM pts p, range(8) r(cell)
-                 GROUP BY 1, 2) a
-             ) WHERE rn = 1
-           ) b JOIN pts p2 USING (vec_id)
-           GROUP BY 1, 2
-         ) m ON m.cell = g.cell AND m.j = g.j
-        ) AS clist
-      FROM lloyd s WHERE s.it < 10),
-    cents AS MATERIALIZED (
-      SELECT r.cell, js.j, l.clist[r.cell * (SELECT d FROM dims) + js.j] AS c
-      FROM (SELECT clist FROM lloyd WHERE it = 10) l, range(8) r(cell), js),
+    c0 AS MATERIALIZED (
+      SELECT i.cell, p.j, p.v AS c,
+             CAST(floor(p.v * 1000000 + 0.5) AS BIGINT) AS qc
+      FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+            FROM samp ORDER BY vec_id LIMIT 8) i
+      JOIN pts p USING (vec_id)),
+__LLOYD__
+    cents AS MATERIALIZED (SELECT cell, j, c, qc FROM c10),
     alle AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS j,
-             unnest(embedding)::DOUBLE AS v
+             unnest(embedding)::DOUBLE AS v,
+             CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS qv
       FROM embeddings),
     assign AS (
       SELECT vec_id, cell FROM (
         SELECT d2s.vec_id, d2s.cell,
                row_number() OVER (PARTITION BY d2s.vec_id ORDER BY d2s.d2, d2s.cell) AS rn
-        FROM (SELECT e.vec_id, c.cell, sum((e.v - c.c) * (e.v - c.c)) AS d2
+        FROM (SELECT e.vec_id, c.cell, sum((e.qv - c.qc) * (e.qv - c.qc)) AS d2
               FROM alle e JOIN cents c USING (j) GROUP BY 1, 2) d2s
       ) WHERE rn = 1),
-    q AS (SELECT j, v AS qv FROM alle WHERE vec_id = 0),
+    q AS (SELECT j, alle.v AS qv, alle.qv AS qqv FROM alle WHERE vec_id = 0),
     qcells AS (
       SELECT cell FROM (
-        SELECT c.cell, sum((q.qv - c.c) * (q.qv - c.c)) AS d2
+        SELECT c.cell, sum((q.qqv - c.qc) * (q.qqv - c.qc)) AS d2
         FROM q JOIN cents c USING (j) GROUP BY 1
       ) ORDER BY d2, cell LIMIT 3),
     cand AS (SELECT vec_id FROM assign WHERE cell IN (SELECT cell FROM qcells)),
@@ -2091,7 +2075,25 @@ def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dotp, qn
       ORDER BY cos_sim DESC, vec_id LIMIT 10)
     SELECT vec_id, cos_sim FROM top WHERE vec_id <> 0
-    """,
+    """.replace("__LLOYD__", "\n".join(
+        f"""    a{t} AS (
+      SELECT p.vec_id, c.cell,
+             sum((p.qv - c.qc) * (p.qv - c.qc)) AS d2
+      FROM pts p JOIN c{t} c USING (j) GROUP BY 1, 2),
+    b{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM a{t}) WHERE rn = 1),
+    m{t} AS (
+      SELECT b.cell, p.j,
+             CAST(CAST(sum(p.qv) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS mu
+      FROM b{t} b JOIN pts p USING (vec_id) GROUP BY 1, 2),
+    c{t + 1} AS MATERIALIZED (
+      SELECT c.cell, c.j, coalesce(m.mu, c.c) AS c,
+             CAST(floor(coalesce(m.mu, c.c) * 1000000 + 0.5) AS BIGINT) AS qc
+      FROM c{t} c LEFT JOIN m{t} m ON m.cell = c.cell AND m.j = c.j),"""
+        for t in range(10)
+    )),
 )
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell-pruned approximate nearest neighbors (the second ANN scale

@@ -47,7 +47,10 @@ STATE_SCHEMA = T.StructType(
 
 
 def sessionize_stream(
-    stream: DataFrame, gap_sec: int = 1800, close_idle: bool = False
+    stream: DataFrame,
+    gap_sec: int = 1800,
+    close_idle: bool = False,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """conv_id-keyed stateful sessionization over a transcript stream.
 
@@ -57,6 +60,11 @@ def sessionize_stream(
     a conversation that simply goes quiet still emits (and its state is
     dropped; without timeouts, idle-key state accumulates forever on a
     100 TB ingest). Input needs columns (conv_id, ts).
+
+    ``watermark_delay`` (close_idle mode) bounds tolerated cross-key event
+    skew: with "0 seconds", an event older than the max event time already
+    seen is DROPPED as late — size it to the source's actual disorder
+    (FileStreamSource orders micro-batches by file mtime, ties arbitrary).
     """
     gap_us = gap_sec * 1_000_000
 
@@ -123,7 +131,7 @@ def sessionize_stream(
             state.setTimeoutTimestamp(last_us // 1000 + gap_sec * 1000)
         yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
 
-    src = stream.withWatermark("ts", "0 seconds") if close_idle else stream
+    src = stream.withWatermark("ts", watermark_delay) if close_idle else stream
     return src.groupBy("conv_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
