@@ -40,27 +40,47 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _lcg_int(k: int, lo: int, hi: int) -> int:
+    """Two-round integer LCG → [lo, hi). Same family as
+    similarity._lcg_unit: pure integer arithmetic so a SQL oracle replays
+    every draw exactly (numpy RNG streams have no SQL twin)."""
+    a, c, m = 1103515245, 12345, 2**31
+    x = (a * k + c) % m
+    x = (a * x + c) % m
+    return lo + x % (hi - lo)
+
+
 def synth_media(spark, n: int = 256, seed: int = 5) -> DataFrame:
-    """Deterministic fake media table (for tests)."""
+    """Deterministic fake media table: payload bytes are an md5 chain over
+    (seed, id, block) and every metadata draw is an integer LCG — fully
+    replayable (incl. in SQL), unlike the numpy RNG it replaces."""
     def gen(batches):
+        import hashlib
+
         for pdf in batches:
-            rng_rows = []
+            rows = []
             for mid in pdf["id"].to_numpy():
-                rng = np.random.default_rng(seed * 100003 + int(mid))
-                kind = ["image", "audio", "video"][int(mid) % 3]
-                payload = rng.integers(0, 256, rng.integers(64, 2048), dtype=np.uint8).tobytes()
-                rng_rows.append(
+                mid = int(mid)
+                kind = ["image", "audio", "video"][mid % 3]
+                k0 = seed * 1_000_003 + mid * 7
+                length = _lcg_int(k0, 64, 2048)
+                nblocks = (length + 15) // 16
+                payload = b"".join(
+                    hashlib.md5(f"{seed}:{mid}:{b}".encode()).digest()
+                    for b in range(nblocks)
+                )[:length]
+                rows.append(
                     {
-                        "media_id": int(mid),
+                        "media_id": mid,
                         "kind": kind,
                         "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                        "width": int(rng.integers(16, 512)) if kind != "audio" else None,
-                        "height": int(rng.integers(16, 512)) if kind != "audio" else None,
-                        "duration_ms": int(rng.integers(100, 60000)) if kind != "image" else None,
+                        "width": _lcg_int(k0 + 1, 16, 512) if kind != "audio" else None,
+                        "height": _lcg_int(k0 + 2, 16, 512) if kind != "audio" else None,
+                        "duration_ms": _lcg_int(k0 + 3, 100, 60000) if kind != "image" else None,
                         "payload": payload,
                     }
                 )
-            yield pd.DataFrame(rng_rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 

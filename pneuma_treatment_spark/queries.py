@@ -1700,6 +1700,68 @@ def gap_fill_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_LCG = (
+    "((1103515245 * ((1103515245 * ({k}) + 12345) % 2147483648) + 12345) % 2147483648)"
+)
+
+
+@query(
+    "multimodal_manifest",
+    f"""
+    WITH ids AS (SELECT CAST(r.i AS BIGINT) AS media_id FROM range(64) r(i)),
+    parms AS (
+      SELECT media_id,
+             CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             64 + {_MM_LCG.format(k="5*1000003 + media_id*7")} % (2048 - 64) AS len,
+             16 + {_MM_LCG.format(k="5*1000003 + media_id*7 + 1")} % (512 - 16) AS w,
+             16 + {_MM_LCG.format(k="5*1000003 + media_id*7 + 2")} % (512 - 16) AS h,
+             100 + {_MM_LCG.format(k="5*1000003 + media_id*7 + 3")} % (60000 - 100) AS dur
+      FROM ids
+    ),
+    blocks AS (
+      SELECT media_id, len, unnest(range(0, (len + 15) // 16)) AS b FROM parms
+    ),
+    pay AS (
+      SELECT media_id,
+             unhex(substring(
+               string_agg(md5(concat('5:', CAST(media_id AS VARCHAR), ':',
+                                     CAST(b AS VARCHAR))), '' ORDER BY b),
+               1, CAST(2 * any_value(len) AS INT))) AS payload
+      FROM blocks GROUP BY media_id
+    )
+    SELECT p.media_id, p.kind,
+           CASE p.kind WHEN 'image' THEN 'image/png' WHEN 'audio' THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CASE WHEN p.kind <> 'audio' THEN CAST(p.w AS INT) END AS width,
+           CASE WHEN p.kind <> 'audio' THEN CAST(p.h AS INT) END AS height,
+           CASE WHEN p.kind <> 'image' THEN CAST(p.dur AS INT) END AS duration_ms,
+           CAST(octet_length(y.payload) AS INT) AS n_bytes,
+           hex(y.payload) AS payload_hex
+    FROM parms p JOIN pay y USING (media_id)
+    """,
+)
+def multimodal_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing, hash-gated: the synthetic media payloads
+    are md5-chain bytes and all metadata draws are integer LCGs, so the
+    DuckDB twin regenerates the exact bytes and checks that binary columns
+    survive the Arrow/mapInPandas path bit-for-bit (the full payload is
+    compared as hex — DuckDB 1.0 has no blob sha)."""
+    from pneuma_treatment_spark.operators.multimodal import synth_media
+
+    m = synth_media(spark, n=64, seed=5)
+    return m.select(
+        "media_id",
+        "kind",
+        "mime",
+        "width",
+        "height",
+        "duration_ms",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.hex("payload").alias("payload_hex"),
+    )
+
+
 @query("multimodal_features", None)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column multimodal plumbing: synth media → feature extraction
