@@ -97,6 +97,19 @@ def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
     return F.array(*[perm(i) for i in range(k)])
 
 
+def md5_seeded_hash(col: Column, i: int) -> Column:
+    """Seeded 60-bit md5 hash (the replayable family for MinHash band
+    hashes — one call per (doc, band), so the md5 cost stays negligible)."""
+    return md5_token_hash(F.concat(col, F.lit(f":{i}")))
+
+
+def _mh_mix(h: Column, i: int) -> Column:
+    """Cheap integer permutation of a base hash — replayable everywhere and
+    ONE md5 per shingle instead of k (32 md5s per shingle cost ~24s at
+    sf0.1; integer mixing is free)."""
+    return (1103515245 * ((h + 10007 * i) % 1073741824) + 12345) % 1073741824
+
+
 def minhash_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -105,33 +118,62 @@ def minhash_pairs(
     bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified by exact Jaccard.
 
     k/bands rows per band tune the S-curve; defaults (32 hashes, 8 bands of
     4) target thresholds around 0.7-0.9. Candidate generation is an
     equi-join on (band_idx, band_hash) — no all-pairs shuffle.
+
+    ``hash_family="md5"`` switches to the SQL-replayable construction: ONE
+    60-bit md5 base hash per shingle, k integer-mix permutations of it, and
+    md5 band hashes (xxhash64, the default, has no SQL twin).
     """
     rows = k // bands
-    s = with_shingles(docs, text_col, n).select(
-        F.col(id_col).alias("id"),
-        "shingles",
-        F.size("shingles").alias("sz"),
-        minhash_signature(F.col("shingles"), k).alias("sig"),
-    )
+    if hash_family == "md5":
+
+        def _perm(i: int):
+            # closure factory — a default-arg lambda would have TWO params
+            # and pyspark's HOF arity dispatch passes the ELEMENT INDEX as
+            # the second argument, silently overriding the default
+            return F.array_min(F.transform(F.col("__hs"), lambda h: _mh_mix(h, i)))
+
+        sig_expr = F.array(*[_perm(i) for i in range(k)])
+        s = (
+            with_shingles(docs, text_col, n)
+            .withColumn("__hs", F.transform("shingles", md5_token_hash))
+            .select(
+                F.col(id_col).alias("id"),
+                "shingles",
+                F.size("shingles").alias("sz"),
+                sig_expr.alias("sig"),
+            )
+        )
+        bh = md5_seeded_hash
+    else:
+        s = with_shingles(docs, text_col, n).select(
+            F.col(id_col).alias("id"),
+            "shingles",
+            F.size("shingles").alias("sz"),
+            minhash_signature(F.col("shingles"), k).alias("sig"),
+        )
+        bh = lambda c, i: F.xxhash64(c, F.lit(i))
     banded = s.select(
         "id",
         "sz",
         "shingles",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("sig", b * rows + 1, rows)), b
-                    ).alias("bhash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bh(
+                            F.concat_ws(",", F.slice("sig", b * rows + 1, rows)), b
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "sz", "shingles", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
@@ -163,8 +205,22 @@ def minhash_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: sign-sum of token hash bits.
+def md5_token_hash(col: Column) -> Column:
+    """60-bit token hash from the md5 hex prefix — slower than xxhash64 but
+    reproducible in any engine with md5 (the DuckDB oracle included)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
+    """SimHash per document: sign-sum of token hash bits (64-bit xxhash64 by
+    default; pass ``token_hash=md5_token_hash, bits=60`` for the
+    SQL-replayable variant).
 
     One groupBy(id) over the 1× token stream with ``bits`` conditional-sum
     aggregate expressions — each partial is just ``bits`` longs per doc, so
@@ -175,11 +231,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     Per bit b the ±1 sign-sum is ``2*popcount_b − n_tokens``; we aggregate
     ``sum(bit_b)`` and ``count`` and recover the sign at the end.
     """
+    th = token_hash or (lambda c: F.xxhash64(c))
     toks = docs.where(F.col(text_col).isNotNull() & (F.trim(text_col) != "")).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     )
-    h = toks.select("id", F.xxhash64("tok").alias("h"))
+    h = toks.select("id", th(F.col("tok")).alias("h"))
     # python-API shiftright needs a literal shift count — fine here, b is one
     sums = h.groupBy("id").agg(
         F.count(F.lit(1)).alias("__n"),
@@ -202,10 +259,14 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return sums.select(F.col("id").alias(id_col), sig_expr.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 64, **kw
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, candidates
-    via 4-block banding (any identical 16-bit block → candidate)."""
-    sig = simhash(docs, **kw)
+    via 4-block banding (any identical bits/4-wide block → candidate)."""
+    sig = simhash(docs, bits=bits, **kw)
+    block_bits = bits // 4
+    mask = (1 << block_bits) - 1
     blocks = sig.select(
         "doc_id",
         "simhash",
@@ -214,8 +275,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.shiftright("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", b * block_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bval"),
                     )
                     for b in range(4)

@@ -1476,21 +1476,143 @@ def dtw_persistence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("avg_path_error", "std_path_error")
 
 
-@query("minhash_pairs", None)
+def _mh_hash(expr: str, seed: int) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat({expr}, ':{seed}')), 1, 15)) AS BIGINT)"
+    )
+
+
+_MH_K, _MH_BANDS = 32, 8
+# one md5 base hash per shingle, k integer-mix permutations (see dedup._mh_mix)
+_MH_MINS = ",\n             ".join(
+    f"min((1103515245 * ((h + {10007 * i}) % 1073741824) + 12345) % 1073741824) AS g{i}"
+    for i in range(_MH_K)
+)
+_MH_BAND_SELECTS = "\n      UNION ALL\n      ".join(
+    "SELECT id, {b} AS band, {h} AS bhash FROM sig".format(
+        b=b,
+        h=_mh_hash(
+            "concat_ws(',', "
+            + ", ".join(f"CAST(g{4 * b + r} AS VARCHAR)" for r in range(4))
+            + ")",
+            b,
+        ),
+    )
+    for b in range(_MH_BANDS)
+)
+
+
+@query(
+    "minhash_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    shg AS (
+      SELECT id,
+             CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [toks[1]] END AS shingles
+      FROM d
+    ),
+    ex AS MATERIALIZED (
+      SELECT id, len(shingles) AS sz, unnest(shingles) AS s,
+             CAST(concat('0x', substring(md5(unnest(shingles)), 1, 15)) AS BIGINT) AS h
+      FROM shg),
+    sig AS MATERIALIZED (
+      SELECT id, {_MH_MINS}
+      FROM ex GROUP BY id
+    ),
+    bands AS (
+      {_MH_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+    ),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT c.id_a, c.id_b, i.sz_a, i.sz_b,
+           CAST(i.i AS DOUBLE) / (i.sz_a + i.sz_b - i.i) AS jaccard
+    FROM cand c JOIN inter i USING (id_a, id_b)
+    WHERE CAST(i.i AS DOUBLE) / (i.sz_a + i.sz_b - i.i) >= 0.2
+    """,
+)
 def minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (approximate; exact recall checked in
-    tests/test_dedup.py against ngram_jaccard_pairs)."""
+    """MinHash+LSH near-dup candidates verified by exact Jaccard — the
+    md5-seeded 60-bit hash family, so the DuckDB twin replays the signatures
+    and banding exactly (xxhash64 stays the library default for speed; exact
+    recall vs ngram_jaccard_pairs is pytest-checked on the default)."""
     from pneuma_treatment_spark.operators.dedup import minhash_pairs
 
-    return minhash_pairs(_load(spark, sf_dir, "documents"), threshold=0.2)
+    return minhash_pairs(
+        _load(spark, sf_dir, "documents"), threshold=0.2, hash_family="md5"
+    )
 
 
-@query("simhash_pairs", None)
+_SIMHASH_BITS = 60
+_SIMHASH_POPS = ",\n             ".join(
+    f"CAST(sum((h >> {b}) & 1) AS BIGINT) AS p{b}" for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_SIG = "\n           + ".join(
+    f"(CASE WHEN 2 * p{b} - n > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+    for b in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "simhash_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                 ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    h AS (SELECT id, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+          FROM toks),
+    pops AS (
+      SELECT id, count(*) AS n,
+             {_SIMHASH_POPS}
+      FROM h GROUP BY id
+    ),
+    sig AS (
+      SELECT id,
+           {_SIMHASH_SIG} AS simhash
+      FROM pops
+    ),
+    blocks AS (
+      SELECT id, simhash, r.blk, (simhash >> (r.blk * 15)) & 32767 AS bval
+      FROM sig, range(4) r(blk)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS ha, b.simhash AS hb
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bval = b.bval AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 16
+    """,
+)
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance."""
-    from pneuma_treatment_spark.operators.dedup import simhash_near_pairs
+    """SimHash near-dup pairs by Hamming distance — the md5/60-bit variant
+    so the DuckDB twin rebuilds every signature exactly (xxhash64, the
+    library default for speed, has no SQL twin)."""
+    from pneuma_treatment_spark.operators.dedup import md5_token_hash, simhash_near_pairs
 
-    return simhash_near_pairs(_load(spark, sf_dir, "documents"), max_hamming=16)
+    return simhash_near_pairs(
+        _load(spark, sf_dir, "documents"),
+        max_hamming=16,
+        bits=_SIMHASH_BITS,
+        token_hash=md5_token_hash,
+    )
 
 
 @query(
