@@ -178,23 +178,35 @@ def minhash_pairs(
         ).alias("bb"),
     ).select("id", "sz", "shingles", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # Candidates carry IDS ONLY through the banded self-join and the pair
+    # dedup; the shingle arrays join back once per side afterwards (carrying
+    # two full shingle sets per candidate row was the dominant shuffle).
+    a, b = banded.select("id", "band", "bhash").alias("a"), banded.select(
+        "id", "band", "bhash"
+    ).alias("b")
+    ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    side = s.select("id", "shingles", "sz")
+    cand = ids.join(
+        side.select(
+            F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
+            F.col("sz").alias("sz_a"),
+        ),
+        "id_a",
+    ).join(
+        side.select(
+            F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
+            F.col("sz").alias("sz_b"),
+        ),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
