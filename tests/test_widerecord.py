@@ -68,3 +68,37 @@ def test_read_wide_text_end_to_end(spark, tmp_path):
     out = read_wide_text(spark, str(p))
     assert out.count() == 3
     assert {r["id"] for r in out.select("id").distinct().collect()} == {"veh1", "veh2"}
+
+
+def test_stride6_matches_reference_loop(spark):
+    """Property-style pin on generated records: the Spark parser equals a
+    direct transcription of the reference's list_to_df loop
+    (01data_formatter.py:25-34) for any token count, including partial
+    trailing groups and meta-only lines."""
+    import random
+
+    rng = random.Random(7)
+    lines, want = [], []
+    for rec in range(25):
+        n_groups = rng.randint(0, 5)
+        extra = rng.randint(0, 5)  # trailing partial-group tokens
+        vals = [rng.randint(-100, 100) for _ in range(6 * n_groups + extra)]
+        toks = [f"id{rec}", "Car", "1.5", "2.5"] + [str(v) for v in vals]
+        lines.append("; ".join(toks))
+        # reference loop: for i in range(3, len(temp)-6, 6): temp[i+1..i+6]
+        temp = toks
+        j = 0
+        for i in range(3, len(temp) - 6, 6):
+            want.append(
+                (f"id{rec}", j, float(temp[i + 1]), float(temp[i + 2]),
+                 float(temp[i + 3]), float(temp[i + 4]), float(temp[i + 5]),
+                 float(temp[i + 6]))
+            )
+            j += 1
+    got = sorted(
+        (r["id"], r["j"], r["lat"], r["lon"], r["v"], r["a_x"], r["a_y"], r["frame"])
+        for r in parse_wide_records(
+            _lines(spark, lines), lat_offset=0.0, lon_offset=0.0
+        ).collect()
+    )
+    assert got == sorted(want)
