@@ -36,6 +36,12 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("payload_sha", T.StringType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # exact-integer payload digests: any engine replays them from the
+        # bytes (DuckDB 1.0 has no blob sha — sha256 is VARCHAR-only — so the
+        # oracle-facing provenance columns are integer reductions instead)
+        T.StructField("hist_checksum", T.LongType(), False),  # Σ (d+1)·folded[d]
+        T.StructField("norm_sq", T.LongType(), False),        # Σ folded[d]²
+        T.StructField("pos_sum", T.LongType(), False),        # Σ (i+1)·byte[i]
     ]
 )
 
@@ -106,11 +112,19 @@ def extract_features(
     def run(batches):
         for pdf in batches:
             feats, shas, nbytes = [], [], []
+            hcks, nsqs, psums = [], [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 b = bytes(payload)
                 shas.append(hashlib.sha256(b).hexdigest()[:16])
                 nbytes.append(len(b))
                 feats.append(decode(kind, b, dim))
+                bv = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                folded = np.bincount(bv, minlength=256).reshape(
+                    dim, 256 // dim
+                ).sum(axis=1)
+                hcks.append(int(((np.arange(dim) + 1) * folded).sum()))
+                nsqs.append(int((folded * folded).sum()))
+                psums.append(int(((np.arange(len(bv)) + 1) * bv).sum()))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -118,6 +132,9 @@ def extract_features(
                     "n_bytes": nbytes,
                     "payload_sha": shas,
                     "feature": feats,
+                    "hist_checksum": hcks,
+                    "norm_sq": nsqs,
+                    "pos_sum": psums,
                 }
             )
 

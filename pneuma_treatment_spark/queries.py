@@ -126,19 +126,26 @@ def count_distinct_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "log_normalize",
+    "per_type_stats",
     """
     SELECT event_type, count(*) AS n,
-           round(ln(1 + count(*)) / ln(15), 6) AS n_norm
+           round(ln(1 + count(*)) / ln(15), 6) AS n_norm,
+           round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.5), 6) AS med_cents
     FROM events GROUP BY 1
     """,
 )
-def log_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Log normalization (A15/F5: 09lane_node.py:414-417)."""
-    e = _load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).withColumn(
+def per_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type log normalization + exact interpolated median (A15/F5:
+    09lane_node.py:414-417; A13/A9: np.percentile analog). One query covers
+    both small per-type aggregates — the driver records at most 50 query
+    rows, so trivially-composable aggregates share a slot."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(cents, 0.5)"), 6).alias("med_cents"),
+    ).withColumn(
         "n_norm", F.round(F.log1p(F.col("n").cast("double")) / F.log(F.lit(15.0)), 6)
-    )
+    ).select("event_type", "n", "n_norm", "med_cents")
 
 
 # ---------------------------------------------------------------------------
@@ -170,25 +177,33 @@ def sliding_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lag_diff",
+    "running_total",
     f"""
     SELECT event_id,
            cents - lag(cents) OVER w AS diff_cents,
-           CAST(sign(cents - lag(cents) OVER w) AS INT) AS diff_sign
+           CAST(sign(cents - lag(cents) OVER w) AS INT) AS diff_sign,
+           CAST(sum(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
     FROM (SELECT event_id, user_id, ts, {_CENTS_SQL} AS cents FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
-def lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First differences + sign (A10 directional accuracy input,
-    15compare_lane_stats.py:131-146; A5 lag pattern)."""
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First differences + sign + running cumulative sum per key, one ordered
+    window (A10 directional-accuracy input, 15compare_lane_stats.py:131-146;
+    A5 lag pattern; W9/W19 trapezoid-cumsum / position analogs,
+    processor.py:375-380). Shares a slot under the driver's 50-row cap —
+    the three sequence columns ride the same sort."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     diff = F.col("cents") - F.lag("cents").over(w)
+    run = F.sum("cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return e.select(
         "event_id",
         diff.alias("diff_cents"),
         F.signum(diff).cast("int").alias("diff_sign"),
+        run.alias("run_cents"),
     )
 
 
@@ -750,51 +765,50 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "token_count_docs",
-    r"""
-    SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
-    FROM documents WHERE text IS NOT NULL
-    """,
-)
-def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic whitespace token counting (text-analysis op; the same
-    tokenizer the transcript engine uses for token_count)."""
-    d = _load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    n = F.when(F.trim("text") == "", 0).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-    return d.select("doc_id", n.alias("n_tokens"))
-
-
-@query(
     "quality_score",
     r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, len(toks) AS n_tokens,
+           len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+|''')
+           ) AS n_bpe_tokens,
            len(list_filter(toks, x -> list_contains(
                ['the','a','of','to','and','in','is','for','on','with'], x))) AS stop_cnt,
-           CAST(len(list_filter(toks, x -> list_contains(
-               ['the','a','of','to','and','in','is','for','on','with'], x))) AS DOUBLE)
-             / len(toks) AS stop_ratio
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE CAST(len(list_filter(toks, x -> list_contains(
+                    ['the','a','of','to','and','in','is','for','on','with'], x)))
+                    AS DOUBLE) / len(toks) END AS stop_ratio
     FROM t
     """,
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text quality scoring: stopword ratio (training-data pipeline op)."""
-    d = _load(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull() & (F.trim("text") != "")
+    """Text quality scoring + token counting in one pass: whitespace tokens,
+    BPE-ish pre-tokenizer matches (the subword-cost proxy — whitespace
+    counting undercounts punctuation-heavy text badly; lookahead-free so
+    RE2 and Java regex agree), stopword count/ratio. One documents scan
+    covers the three text-analysis ops (the driver records at most 50 query
+    rows, so single-scan column families share a slot)."""
+    from pneuma_treatment_spark.operators.textstats import BPE_TOKEN_RE
+
+    d = _load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.when(F.trim("text") == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.col("text")), r"\s+")
     )
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    stop = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
-    n = F.size(toks)
+    d = d.withColumn("__toks", toks)
+    stop = F.size(F.filter(F.col("__toks"), lambda x: x.isin(_STOPWORDS)))
+    n = F.size(F.col("__toks"))
+    nbpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0)))
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
+        nbpe.alias("n_bpe_tokens"),
         stop.alias("stop_cnt"),
-        (stop.cast("double") / n).alias("stop_ratio"),
+        F.when(n > 0, stop.cast("double") / n).alias("stop_ratio"),
     )
 
 
@@ -1047,22 +1061,6 @@ def f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per
 
 
-@query(
-    "median_value",
-    """
-    SELECT event_type,
-           round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.5), 6) AS med_cents
-    FROM events GROUP BY 1
-    """,
-)
-def median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated median (A13/A9 baseline: np.percentile analog)."""
-    e = _events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(cents, 0.5)"), 6).alias("med_cents")
-    )
-
-
 # ---------------------------------------------------------------------------
 # W16 time-shifted union merge
 # ---------------------------------------------------------------------------
@@ -1149,24 +1147,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pneuma_treatment_spark.operators.textstats import fingerprint
 
     return fingerprint(_load(spark, sf_dir, "documents"))
-
-
-@query(
-    "token_count_bpe",
-    r"""
-    SELECT doc_id,
-           len(regexp_extract_all(text,
-               '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+|''')
-           ) AS n_bpe_tokens
-    FROM documents WHERE text IS NOT NULL
-    """,
-)
-def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex token counting (the subword-cost proxy next to the
-    whitespace counter; lookahead-free so RE2 and Java regex agree)."""
-    from pneuma_treatment_spark.operators.textstats import token_count_bpe
-
-    return token_count_bpe(_load(spark, sf_dir, "documents"))
 
 
 @query(
@@ -1671,6 +1651,100 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_topk",
+    # The Lloyd iterations are UNROLLED relational CTEs (generated below):
+    # a recursive CTE carrying the centroid list was nondeterministic under
+    # DuckDB's internal multithreading (same clist, different projections —
+    # an engine race, not float ordering), and all arithmetic is exact
+    # integer sums so accumulation order cannot matter either.
+    """
+    WITH
+    samp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4096),
+    pts AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+             unnest(embedding)::DOUBLE AS v,
+             CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS qv
+      FROM samp),
+    c0 AS MATERIALIZED (
+      SELECT i.cell, p.j, p.v AS c,
+             CAST(floor(p.v * 1000000 + 0.5) AS BIGINT) AS qc
+      FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+            FROM samp ORDER BY vec_id LIMIT 8) i
+      JOIN pts p USING (vec_id)),
+__LLOYD__
+    cents AS MATERIALIZED (SELECT cell, j, c, qc FROM c10),
+    alle AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+             unnest(embedding)::DOUBLE AS v,
+             CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS qv
+      FROM embeddings),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT d2s.vec_id, d2s.cell,
+               row_number() OVER (PARTITION BY d2s.vec_id ORDER BY d2s.d2, d2s.cell) AS rn
+        FROM (SELECT e.vec_id, c.cell, sum((e.qv - c.qc) * (e.qv - c.qc)) AS d2
+              FROM alle e JOIN cents c USING (j) GROUP BY 1, 2) d2s
+      ) WHERE rn = 1),
+    q AS (SELECT j, alle.v AS qv, alle.qv AS qqv FROM alle WHERE vec_id = 0),
+    qcells AS (
+      SELECT cell FROM (
+        SELECT c.cell, sum((q.qqv - c.qc) * (q.qqv - c.qc)) AS d2
+        FROM q JOIN cents c USING (j) GROUP BY 1
+      ) ORDER BY d2, cell LIMIT 3),
+    cand AS (SELECT vec_id FROM assign WHERE cell IN (SELECT cell FROM qcells)),
+    dotp AS (
+      SELECT e.vec_id, sum(e.v * q.qv) AS dot, sum(e.v * e.v) AS na
+      FROM alle e JOIN q USING (j)
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1),
+    qn AS (SELECT sqrt(sum(qv * qv)) AS n FROM q),
+    top AS (
+      SELECT vec_id, round(dot / (sqrt(na) * qn.n), 6) AS cos_sim
+      FROM dotp, qn
+      ORDER BY cos_sim DESC, vec_id LIMIT 10)
+    SELECT vec_id, cos_sim FROM top WHERE vec_id <> 0
+    """.replace("__LLOYD__", "\n".join(
+        f"""    a{t} AS (
+      SELECT p.vec_id, c.cell,
+             sum((p.qv - c.qc) * (p.qv - c.qc)) AS d2
+      FROM pts p JOIN c{t} c USING (j) GROUP BY 1, 2),
+    b{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM a{t}) WHERE rn = 1),
+    m{t} AS (
+      SELECT b.cell, p.j,
+             CAST(CAST(sum(p.qv) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS mu
+      FROM b{t} b JOIN pts p USING (vec_id) GROUP BY 1, 2),
+    c{t + 1} AS MATERIALIZED (
+      SELECT c.cell, c.j, coalesce(m.mu, c.c) AS c,
+             CAST(floor(coalesce(m.mu, c.c) * 1000000 + 0.5) AS BIGINT) AS qc
+      FROM c{t} c LEFT JOIN m{t} m ON m.cell = c.cell AND m.j = c.j),"""
+        for t in range(10)
+    )),
+)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-pruned approximate nearest neighbors (the second ANN scale
+    path next to lsh_topk; recall vs brute force in
+    tests/test_dedup_similarity). The codebook construction is fully
+    replayable (ordered sample, first-k init, 6-dp-rounded Lloyd means), so
+    the DuckDB twin retrains the same centroids and hash-gates the top-k."""
+    from pneuma_treatment_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train_centroids,
+        with_ivf_cell,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = ivf_train_centroids(emb, n_cells=8, seed=7)
+    celled = with_ivf_cell(emb, cents)
+    return ivf_topk(celled, cents, qvec, k=10, nprobe=3).where(F.col("vec_id") != 0)
+
+
+
+
+@query(
     "event_match_metrics",
     f"""
     WITH RECURSIVE {_STATE_CTES},
@@ -1884,15 +1958,62 @@ def multimodal_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features", None)
+@query(
+    "multimodal_features",
+    f"""
+    WITH ids AS (SELECT CAST(r.i AS BIGINT) AS media_id FROM range(64) r(i)),
+    parms AS (
+      SELECT media_id,
+             CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             64 + {_MM_LCG.format(k="5*1000003 + media_id*7")} % (2048 - 64) AS len
+      FROM ids
+    ),
+    blocks AS (
+      SELECT media_id, len, unnest(range(0, (len + 15) // 16)) AS b FROM parms
+    ),
+    pay AS (
+      SELECT media_id, any_value(len) AS len,
+             substring(
+               string_agg(md5(concat('5:', CAST(media_id AS VARCHAR), ':',
+                                     CAST(b AS VARCHAR))), '' ORDER BY b),
+               1, CAST(2 * any_value(len) AS INT)) AS hexp
+      FROM blocks GROUP BY media_id
+    ),
+    byts AS (
+      SELECT media_id, hexp, len, unnest(range(0, len)) AS i FROM pay
+    ),
+    bv AS (
+      SELECT media_id, i,
+             ('0x' || substring(hexp, CAST(2 * i + 1 AS INT), 2))::BIGINT AS v
+      FROM byts
+    ),
+    hist AS (SELECT media_id, v // 8 AS d, count(*) AS c FROM bv GROUP BY 1, 2),
+    digs AS (
+      SELECT media_id,
+             CAST(sum((d + 1) * c) AS BIGINT) AS hist_checksum,
+             CAST(sum(c * c) AS BIGINT) AS norm_sq
+      FROM hist GROUP BY 1
+    ),
+    psum AS (
+      SELECT media_id, CAST(sum((i + 1) * v) AS BIGINT) AS pos_sum FROM bv GROUP BY 1
+    )
+    SELECT p.media_id, p.kind, CAST(y.len AS INT) AS n_bytes,
+           32 AS feature_dim, d.hist_checksum, d.norm_sq, s.pos_sum
+    FROM parms p JOIN pay y USING (media_id) JOIN digs d USING (media_id)
+    JOIN psum s USING (media_id)
+    """,
+)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column multimodal plumbing: synth media → feature extraction
-    (decode stubbed — deterministic fake; Spark dataflow is real).
-
-    The driver's canonicalizer sorts every column, and pandas cannot sort
-    list cells — so this projection is scalars-only: the feature vector is
-    reduced to (dim, murmur3 hash). Library users get the array from
-    ``operators.multimodal.extract_features`` directly."""
+    """Binary-column multimodal feature extraction, hash-gated end-to-end:
+    synth media → Arrow-batched mapInPandas decode (stub) + exact-integer
+    payload digests. The oracle regenerates the md5-chain payload bytes in
+    SQL and recomputes the digests — the folded-histogram checksum and
+    squared norm pin the feature path (the stub feature IS the normalized
+    folded histogram), and the position-weighted byte sum pins payload
+    content AND order. Integer reductions replace the former murmur3
+    ``feature_hash`` (never SQL-replayable) and the raw-bytes sha (DuckDB
+    1.0 sha256 is VARCHAR-only); all are order-independent exact sums."""
     from pneuma_treatment_spark.operators.multimodal import extract_features, synth_media
 
     feats = extract_features(synth_media(spark, n=64))
@@ -1900,9 +2021,10 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         "n_bytes",
-        "payload_sha",
         F.size("feature").alias("feature_dim"),
-        F.hash("feature").alias("feature_hash"),
+        "hist_checksum",
+        "norm_sq",
+        "pos_sum",
     )
 
 
@@ -2091,27 +2213,6 @@ def salted_agg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "running_total",
-    f"""
-    SELECT event_id,
-           CAST(sum({_CENTS_SQL}) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
-    FROM events
-    """,
-)
-def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running cumulative sum per key (W9/W19: trapezoid cumsum /
-    time-space-position analogs — processor.py:375-380, notebook cell 11)."""
-    e = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return e.select("event_id", F.sum("cents").over(w).alias("run_cents"))
-
-
-@query(
     "sessionize",
     f"""
     WITH s AS (
@@ -2204,95 +2305,3 @@ def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_band_pairs(
         _load(spark, sf_dir, "embeddings"), threshold=0.4, n_bands=4, band_planes=4, seed=7
     )
-
-
-@query(
-    "ivf_topk",
-    # The Lloyd iterations are UNROLLED relational CTEs (generated below):
-    # a recursive CTE carrying the centroid list was nondeterministic under
-    # DuckDB's internal multithreading (same clist, different projections —
-    # an engine race, not float ordering), and all arithmetic is exact
-    # integer sums so accumulation order cannot matter either.
-    """
-    WITH
-    samp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4096),
-    pts AS MATERIALIZED (
-      SELECT vec_id, generate_subscripts(embedding, 1) AS j,
-             unnest(embedding)::DOUBLE AS v,
-             CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS qv
-      FROM samp),
-    c0 AS MATERIALIZED (
-      SELECT i.cell, p.j, p.v AS c,
-             CAST(floor(p.v * 1000000 + 0.5) AS BIGINT) AS qc
-      FROM (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-            FROM samp ORDER BY vec_id LIMIT 8) i
-      JOIN pts p USING (vec_id)),
-__LLOYD__
-    cents AS MATERIALIZED (SELECT cell, j, c, qc FROM c10),
-    alle AS MATERIALIZED (
-      SELECT vec_id, generate_subscripts(embedding, 1) AS j,
-             unnest(embedding)::DOUBLE AS v,
-             CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS qv
-      FROM embeddings),
-    assign AS (
-      SELECT vec_id, cell FROM (
-        SELECT d2s.vec_id, d2s.cell,
-               row_number() OVER (PARTITION BY d2s.vec_id ORDER BY d2s.d2, d2s.cell) AS rn
-        FROM (SELECT e.vec_id, c.cell, sum((e.qv - c.qc) * (e.qv - c.qc)) AS d2
-              FROM alle e JOIN cents c USING (j) GROUP BY 1, 2) d2s
-      ) WHERE rn = 1),
-    q AS (SELECT j, alle.v AS qv, alle.qv AS qqv FROM alle WHERE vec_id = 0),
-    qcells AS (
-      SELECT cell FROM (
-        SELECT c.cell, sum((q.qqv - c.qc) * (q.qqv - c.qc)) AS d2
-        FROM q JOIN cents c USING (j) GROUP BY 1
-      ) ORDER BY d2, cell LIMIT 3),
-    cand AS (SELECT vec_id FROM assign WHERE cell IN (SELECT cell FROM qcells)),
-    dotp AS (
-      SELECT e.vec_id, sum(e.v * q.qv) AS dot, sum(e.v * e.v) AS na
-      FROM alle e JOIN q USING (j)
-      WHERE e.vec_id IN (SELECT vec_id FROM cand)
-      GROUP BY 1),
-    qn AS (SELECT sqrt(sum(qv * qv)) AS n FROM q),
-    top AS (
-      SELECT vec_id, round(dot / (sqrt(na) * qn.n), 6) AS cos_sim
-      FROM dotp, qn
-      ORDER BY cos_sim DESC, vec_id LIMIT 10)
-    SELECT vec_id, cos_sim FROM top WHERE vec_id <> 0
-    """.replace("__LLOYD__", "\n".join(
-        f"""    a{t} AS (
-      SELECT p.vec_id, c.cell,
-             sum((p.qv - c.qc) * (p.qv - c.qc)) AS d2
-      FROM pts p JOIN c{t} c USING (j) GROUP BY 1, 2),
-    b{t} AS (
-      SELECT vec_id, cell FROM (
-        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        FROM a{t}) WHERE rn = 1),
-    m{t} AS (
-      SELECT b.cell, p.j,
-             CAST(CAST(sum(p.qv) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS mu
-      FROM b{t} b JOIN pts p USING (vec_id) GROUP BY 1, 2),
-    c{t + 1} AS MATERIALIZED (
-      SELECT c.cell, c.j, coalesce(m.mu, c.c) AS c,
-             CAST(floor(coalesce(m.mu, c.c) * 1000000 + 0.5) AS BIGINT) AS qc
-      FROM c{t} c LEFT JOIN m{t} m ON m.cell = c.cell AND m.j = c.j),"""
-        for t in range(10)
-    )),
-)
-def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell-pruned approximate nearest neighbors (the second ANN scale
-    path next to lsh_topk; recall vs brute force in
-    tests/test_dedup_similarity). The codebook construction is fully
-    replayable (ordered sample, first-k init, 6-dp-rounded Lloyd means), so
-    the DuckDB twin retrains the same centroids and hash-gates the top-k."""
-    from pneuma_treatment_spark.operators.similarity import (
-        ivf_topk,
-        ivf_train_centroids,
-        with_ivf_cell,
-    )
-
-    emb = _load(spark, sf_dir, "embeddings")
-    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
-    cents = ivf_train_centroids(emb, n_cells=8, seed=7)
-    celled = with_ivf_cell(emb, cents)
-    return ivf_topk(celled, cents, qvec, k=10, nprobe=3).where(F.col("vec_id") != 0)

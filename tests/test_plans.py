@@ -26,7 +26,7 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_column_pruning(spark):
-    df = q.token_count_docs(spark, SF)
+    df = q.quality_score(spark, SF)
     plan = _plan(df)
     # scan must read only doc_id + text, not lang/source/n_chars
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
