@@ -2028,6 +2028,53 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chunk_roundtrip",
+    f"""
+    WITH r AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             make_timestamp((({_EPOCH_SQL}//60)*60)*1000000) AS bucket_ts,
+             CAST(sum({_CENTS_SQL}) AS BIGINT) AS cents_sum,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT conv_id, '1m' AS tier, 'cents_sum' AS metric, bucket_ts,
+           CAST(cents_sum AS DOUBLE) AS value
+    FROM r
+    UNION ALL
+    SELECT conv_id, '1m' AS tier, 'n_events' AS metric, bucket_ts,
+           CAST(n_events AS DOUBLE) AS value
+    FROM r
+    """,
+)
+def chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla chunk codec under the hash gate: build a per-user 1-minute
+    rollup slice, encode it to delta-of-delta + XOR chunks (bucket-grouped
+    applyInPandas), decode the chunks back to points, and return the points.
+    The oracle is the rollup slice computed directly — the roundtrip must be
+    the identity, the same exact-recovery contract the reference applies to
+    its rebuilt series (processor.py:373-380). Values are exact-integer
+    partials stored as doubles (the compression-friendly form chunks.py
+    documents), so the float comparison is bit-exact."""
+    from pneuma_treatment_spark.compression.chunks import read_chunks, write_chunks
+
+    e = _events(spark, sf_dir)
+    bucket = F.timestamp_seconds(F.col("epoch_s") - F.col("epoch_s") % 60)
+    r = (
+        e.groupBy(
+            F.col("user_id").cast("string").alias("conv_id"),
+            bucket.alias("bucket_ts"),
+        )
+        .agg(
+            F.sum("cents").cast("double").alias("cents_sum"),
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+        )
+        .withColumn("tier", F.lit("1m"))
+    )
+    pts = read_chunks(write_chunks(r, metrics=("cents_sum", "n_events"), group_buckets=32))
+    return pts.select("conv_id", "tier", "metric", "bucket_ts", "value")
+
+
 # ---------------------------------------------------------------------------
 # Oracle-backed gap-fill, anomaly run-merge, salted agg
 # ---------------------------------------------------------------------------
@@ -2210,6 +2257,120 @@ def salted_agg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n": ("*", "count"), "cents_sum": ("cents", "sum"), "cents_max": ("cents", "max")},
         salt_buckets=16,
     )
+
+
+_SINK_SEQ = iter(range(1, 1 << 30))
+
+
+@query(
+    "rollup_stream",
+    f"""
+    WITH wm AS (
+      SELECT (epoch_us(max(ts)) // 1000) * 1000 - 600000000 AS wm_us FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             make_timestamp((({_EPOCH_SQL}//60)*60)*1000000) AS bucket_ts,
+             count(*) AS n_events,
+             CAST(sum({_CENTS_SQL}) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT r.event_type, r.bucket_ts, r.n_events, r.value_cents
+    FROM r, wm WHERE epoch_us(r.bucket_ts) + 60000000 <= wm.wm_us
+    """,
+)
+def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked rollup under the hash gate (the sessionize
+    batch-twin pattern): run the real Structured Streaming path — file
+    source, event-time watermark, tumbling 1-minute window, append-mode
+    memory sink — over the bounded events table, and oracle the batch
+    rollup restricted to the closed-window region. Append mode emits a
+    bucket once the watermark (ms-floored max event time − 10 min) passes
+    its window end; the oracle applies exactly that cutoff, so stream ==
+    batch is what the hash proves. The `[t]` glob makes the single-file
+    path's basePath resolve to its directory (FileStreamSource requires a
+    directory basePath)."""
+    from pneuma_treatment_spark.streaming.rollup_stream import (
+        run_to_memory_sink,
+        stream_tumbling_rollup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parque[t]")
+    )
+    src = stream.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "cents", _cents(F.col("value"))
+    )
+    out = stream_tumbling_rollup(
+        src,
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("value_cents")],
+        watermark="10 minutes",
+    )
+    name = f"rollup_stream_sink_{next(_SINK_SEQ)}"
+    run_to_memory_sink(out, name=name)
+    return spark.table(name).select("event_type", "bucket_ts", "n_events", "value_cents")
+
+
+@query(
+    "dedup_stream",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the hash gate: stage the documents table
+    as two parquet files — originals first, then a full duplicate copy with
+    shifted ids and +60 s timestamps — with staggered mtimes so
+    FileStreamSource delivers them as two ordered micro-batches (it orders
+    by file mtime, ties arbitrary), then run the real
+    dropDuplicatesWithinWatermark path. Every duplicate arrives inside the
+    30-minute horizon, so keep-FIRST must retain exactly the original rows
+    — the oracle is the plain documents table with the content hash. The
+    fixture collects the bounded documents dim to stage it (500–5000 rows;
+    the streamed path itself stays distributed)."""
+    import os
+    import tempfile
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pneuma_treatment_spark.streaming.dedup_stream import dedup_stream
+    from pneuma_treatment_spark.streaming.rollup_stream import run_to_memory_sink
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    base = docs.assign(ts=pd.Timestamp("2024-01-01 00:00:00"))
+    dup = docs.assign(
+        doc_id=docs.doc_id + 10_000_000, ts=pd.Timestamp("2024-01-01 00:01:00")
+    )
+    d = tempfile.mkdtemp(prefix="pneuma_dedup_stream_")
+    pq.write_table(pa.Table.from_pandas(base, preserve_index=False), f"{d}/000_base.parquet")
+    pq.write_table(pa.Table.from_pandas(dup, preserve_index=False), f"{d}/001_dup.parquet")
+    now = time.time()
+    os.utime(f"{d}/000_base.parquet", (now - 100, now - 100))
+    os.utime(f"{d}/001_dup.parquet", (now - 50, now - 50))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = dedup_stream(stream, text_col="text", ts_col="ts", watermark="30 minutes")
+    name = f"dedup_stream_sink_{next(_SINK_SEQ)}"
+    run_to_memory_sink(out, name=name)
+    return spark.table(name).select("doc_id", "text_hash")
 
 
 @query(

@@ -54,6 +54,26 @@ def stream_rollup_1m(stream: DataFrame, watermark: str = "10 minutes") -> DataFr
     return _with_rates(out, 60)
 
 
+def stream_tumbling_rollup(
+    stream: DataFrame,
+    keys: list[str],
+    aggs: list,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Generic watermarked tumbling rollup over any keyed stream (the
+    event-table counterpart of :func:`stream_rollup_1m`). Append-mode
+    semantics: a bucket is emitted once the watermark passes its window end
+    — on a bounded run, output = exactly the closed-window region of the
+    batch rollup (the equality the batch-twin driver query hash-gates)."""
+    m = stream.withWatermark(ts_col, watermark)
+    agg = m.groupBy(
+        *[F.col(k) for k in keys], F.window(ts_col, window).alias("win")
+    ).agg(*aggs)
+    return agg.withColumn("bucket_ts", F.col("win.start")).drop("win")
+
+
 def run_to_memory_sink(
     rollup_stream: DataFrame, name: str = "stream_rollup", mode: str = "append"
 ):
