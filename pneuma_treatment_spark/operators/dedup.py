@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pneuma_treatment_spark.session import fan_out
+
 
 def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
@@ -47,9 +49,9 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    return docs.where(F.col(text_col).isNotNull() & (F.trim(text_col) != "")).withColumn(
-        "shingles", shingles(F.col(text_col), n)
-    )
+    return fan_out(docs).where(
+        F.col(text_col).isNotNull() & (F.trim(text_col) != "")
+    ).withColumn("shingles", shingles(F.col(text_col), n))
 
 
 def ngram_jaccard_pairs(
@@ -229,6 +231,7 @@ def simhash(
     text_col: str = "text",
     bits: int = 64,
     token_hash=None,
+    hash_distinct: bool | None = None,
 ) -> DataFrame:
     """SimHash per document: sign-sum of token hash bits (64-bit xxhash64 by
     default; pass ``token_hash=md5_token_hash, bits=60`` for the
@@ -242,13 +245,35 @@ def simhash(
 
     Per bit b the ±1 sign-sum is ``2*popcount_b − n_tokens``; we aggregate
     ``sum(bit_b)`` and ``count`` and recover the sign at the end.
+
+    ``hash_distinct=True`` hashes the DISTINCT token vocabulary once and
+    broadcast-joins the hash back to the token stream: vocabulary grows
+    sublinearly in corpus size (Heaps' law), so the dimension stays a
+    bounded broadcast while the per-occurrence hash cost disappears. It is
+    OFF by default because it only pays when per-token hashing dominates
+    (very long documents × an expensive hash): measured at sf0.1 (270k
+    tokens, 31-token vocab — the best possible case for the rewrite) the
+    extra distinct + broadcast-join stages cost MORE than they save
+    (3.8 s vs 3.0 s end-to-end; the md5 calls are ~0.4 s of either), and
+    both paths are pinned bit-identical by
+    tests/test_dedup_similarity.py::test_simhash_hash_distinct_identical.
     """
     th = token_hash or (lambda c: F.xxhash64(c))
-    toks = docs.where(F.col(text_col).isNotNull() & (F.trim(text_col) != "")).select(
+    if hash_distinct is None:
+        hash_distinct = False
+    # compact single-split inputs would run the whole explode+aggregate map
+    # stage on one task (session.fan_out is a no-op at real split counts)
+    toks = fan_out(docs).where(
+        F.col(text_col).isNotNull() & (F.trim(text_col) != "")
+    ).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     )
-    h = toks.select("id", th(F.col("tok")).alias("h"))
+    if hash_distinct:
+        vocab = toks.select("tok").distinct().select("tok", th(F.col("tok")).alias("h"))
+        h = toks.join(F.broadcast(vocab), "tok").select("id", "h")
+    else:
+        h = toks.select("id", th(F.col("tok")).alias("h"))
     # python-API shiftright needs a literal shift count — fine here, b is one
     sums = h.groupBy("id").agg(
         F.count(F.lit(1)).alias("__n"),

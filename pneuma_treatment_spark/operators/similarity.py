@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 import numpy as np
 
+from pneuma_treatment_spark.session import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -38,7 +40,7 @@ def cosine_topk(
     q = [float(v) for v in query_vec]
     qcol = F.array(*[F.lit(v) for v in q])
     qn = float(np.sqrt(sum(v * v for v in q)))
-    e = emb.withColumn("__d", as_double(F.col(vec_col)))
+    e = fan_out(emb).withColumn("__d", as_double(F.col(vec_col)))
     cos = F.round(_dot(F.col("__d"), qcol) / (F.sqrt(_norm2(F.col("__d"))) * F.lit(qn)), 6)
     out = e.select(id_col, cos.alias("cos_sim"))
     if exclude_id is not None:
@@ -80,6 +82,7 @@ def with_lsh_bucket(
     """Sign-of-projection LSH: bucket = bits of sign(v · plane_i). Vectors in
     the same bucket are cosine-similar with high probability; ANN search then
     only scans the query's bucket (plus optional neighboring buckets)."""
+    emb = fan_out(emb)
     d = as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -137,6 +140,7 @@ def cosine_band_pairs(
             [], "id_a long, id_b long, cos_sim double"
         )
     dim = len(head[0])
+    emb = fan_out(emb)  # compact single-split scans would serialize the HOF math
     planes = random_hyperplanes(dim, n_bands * band_planes, seed)
     d = as_double(F.col(vec_col))
 
@@ -260,6 +264,7 @@ def with_ivf_cell(
     assignment runs JVM-side over any table size. Write the table partitioned
     by ivf_cell and queries prune to nprobe cells. Distances are exact
     integer sums over quantized coordinates (see ivf_train_centroids)."""
+    emb = fan_out(emb)
     d = as_double(F.col(vec_col))
     q = F.transform(d, lambda x: F.floor(x * IVF_Q + 0.5))
     cq = _quantize(np.asarray(centroids, dtype=np.float64))

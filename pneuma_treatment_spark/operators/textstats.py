@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pneuma_treatment_spark.session import fan_out
+
 #: tiny deterministic stopword profiles for the n-gram-free language heuristic
 LANG_PROFILES: dict[str, list[str]] = {
     "en": ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"],
@@ -126,9 +128,12 @@ def winnow_fingerprints(
     from pyspark.sql import Window
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    base = docs.where(F.col(text_col).isNotNull() & (F.trim(text_col) != "")).select(
-        id_col, norm.alias("__s")
-    )
+    # the char posexplode below amplifies rows ~300x; a compact single-split
+    # scan would do all of it on one task (fan_out is a no-op at real split
+    # counts)
+    base = fan_out(docs).where(
+        F.col(text_col).isNotNull() & (F.trim(text_col) != "")
+    ).select(id_col, norm.alias("__s"))
     chars = base.select(
         id_col, F.posexplode(F.split("__s", "")).alias("pos", "__ch")
     ).select(id_col, "pos", F.ascii("__ch").cast("long").alias("c"))

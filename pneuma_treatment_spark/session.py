@@ -61,3 +61,20 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def fan_out(df, min_partitions: int | None = None):
+    """Round-robin repartition a DataFrame UP to the session's parallelism —
+    only when it has fewer partitions than that.
+
+    Compact parquet (one row group) scans as ONE task no matter what
+    ``maxPartitionBytes`` says, so any map-heavy operator downstream
+    (explode+hash signatures, per-vector HOF math, rolling-hash
+    fingerprints) runs serial without this. The guard makes it a no-op on
+    real cluster-scale inputs (thousands of splits already) — the exchange
+    is only added exactly when it is cheap (input smaller than one split).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -111,6 +111,18 @@ def test_simhash_matches_legacy(docs):
     assert new == old
 
 
+def test_simhash_hash_distinct_identical(docs):
+    """The distinct-vocabulary md5 path (hash once per token type,
+    broadcast-join back) must produce bit-identical signatures to the
+    per-occurrence path — it is a cost rewrite, not a semantic change."""
+    kw = dict(token_hash=dedup.md5_token_hash, bits=60)
+    dim = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(docs, hash_distinct=True, **kw).collect()}
+    occ = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(docs, hash_distinct=False, **kw).collect()}
+    assert dim == occ and len(dim) > 0
+
+
 def test_simhash_single_shuffle(docs):
     """The de-amplified signature build must shuffle the token stream ONCE
     (groupBy(id)) — no per-bit row explosion, no second aggregation."""
