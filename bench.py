@@ -42,6 +42,8 @@ HEADLINE = [
     "revenue_by_nation",
     "cosine_dup_pairs",
     "winnow_fingerprints",
+    "ivf_topk",
+    "chunk_roundtrip",
     "treatment_pipeline",
 ]
 

@@ -112,21 +112,95 @@ def lsh_topk(
     return cosine_topk(cand, list(map(float, q)), k, id_col, vec_col)
 
 
+def band_candidates(
+    emb: DataFrame,
+    planes: list[list[float]],
+    n_bands: int,
+    band_planes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded sign-LSH candidate pairs, IDS ONLY: a pair is a candidate when
+    it shares the FULL sign-bucket of ANY band (OR-amplification, the
+    minhash banding shape — no all-pairs join). Carrying ids alone through
+    the self-join and the pair dedup keeps the candidate shuffle at two
+    longs per row; exported as its own seam so tests can assert candidate
+    growth directly."""
+    d = as_double(F.col(vec_col))
+
+    def band_bucket(b: int) -> Column:
+        bucket = F.lit(0).cast("long")
+        for i in range(band_planes):
+            p = planes[b * band_planes + i]
+            pcol = F.array(*[F.lit(float(x)) for x in p])
+            bucket = bucket + F.shiftleft((_dot(d, pcol) > 0).cast("long"), i)
+        return bucket
+
+    banded = emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def auto_band_planes(n: int, target_bucket_rows: int = 64) -> int:
+    """Sizing rule for sign-LSH band width: per band the expected bucket
+    occupancy is ~n / 2^planes, so with FIXED planes the per-band candidate
+    count grows ~n² / 2^planes — quadratic. Growing planes ~log2(n) caps
+    occupancy at ``target_bucket_rows``: p = ceil(log2(n / target)), floored
+    at 4 so tiny tables keep several buckets. Each doubling of n then adds
+    one plane. A plane split is a random chord through each bucket's cone,
+    so it shrinks sum(q_b^2) by the unbalanced factor 2E[t^2] (~0.7-0.8
+    measured on gaussian data), not the ideal 0.5 — candidates grow ~3x per
+    doubling instead of the fixed-geometry 4x (strictly sub-quadratic;
+    asserted by tests/test_dedup_similarity.py::
+    test_band_candidates_subquadratic). Tables where that is still too fast
+    should scale planes ~1.5-2x log2(n/target) and raise ``n_bands`` to
+    recover recall."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n, 2) / max(target_bucket_rows, 1))))
+
+
 def cosine_band_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
     n_bands: int = 4,
-    band_planes: int = 4,
+    band_planes: int | None = 4,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    approx_n: int | None = None,
+    target_bucket_rows: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-LSH (the dedup-family
-    member over vectors): a pair is a candidate when it shares the FULL
-    sign-bucket of ANY band (OR-amplification, the minhash banding shape —
-    no all-pairs join), then candidates are verified by exact cosine
-    (rounded to 6 dp) ≥ threshold. Planes are the integer-LCG family, so a
-    SQL oracle replays candidate generation exactly.
+    member over vectors): candidates from :func:`band_candidates`, then
+    verified by exact cosine (rounded to 6 dp) ≥ threshold. Planes are the
+    integer-LCG family, so a SQL oracle replays candidate generation exactly.
+
+    ``band_planes=None`` sizes the band width from the table via
+    :func:`auto_band_planes` (pass ``approx_n`` to skip the count job). The
+    explicit default of 4 is the fixed oracle-replayable geometry — per the
+    sizing rule it is right for ≤ ~1k vectors; larger tables should pass
+    ``None``. Recall per band falls as planes grow, so raise ``n_bands``
+    alongside when the match threshold is loose.
 
     Cross-engine caveat (accepted risk, shared by all sign-LSH oracles):
     bucket bits are sign tests of float dot products whose summation ORDER
@@ -141,42 +215,12 @@ def cosine_band_pairs(
         )
     dim = len(head[0])
     emb = fan_out(emb)  # compact single-split scans would serialize the HOF math
+    if band_planes is None:
+        n = approx_n if approx_n is not None else emb.count()
+        band_planes = auto_band_planes(n, target_bucket_rows)
     planes = random_hyperplanes(dim, n_bands * band_planes, seed)
     d = as_double(F.col(vec_col))
-
-    def band_bucket(b: int) -> Column:
-        bucket = F.lit(0).cast("long")
-        for i in range(band_planes):
-            p = planes[b * band_planes + i]
-            pcol = F.array(*[F.lit(float(x)) for x in p])
-            bucket = bucket + F.shiftleft((_dot(d, pcol) > 0).cast("long"), i)
-        return bucket
-
-    # Candidate generation carries IDS ONLY — the banded self-join plus the
-    # pair dedup would otherwise shuffle two full vectors per candidate row;
-    # the vectors join back once per side after the dedup.
-    banded = emb.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    ids = band_candidates(emb, planes, n_bands, band_planes, id_col, vec_col)
     # norms computed ONCE per vector on the join-back sides, not per pair
     cand = ids.join(
         emb.select(

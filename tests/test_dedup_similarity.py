@@ -212,3 +212,36 @@ def test_ivf_topk_recall(emb):
     # nprobe = all cells == exact brute force (minus the query itself)
     allp = {r["vec_id"] for r in ivf_topk(celled, cents, q, k=10, nprobe=8).collect()}
     assert len(allp & ({0} | brute)) >= 9
+
+
+def test_auto_band_planes_rule():
+    assert similarity.auto_band_planes(100) == 4          # floor
+    assert similarity.auto_band_planes(1 << 10, 64) == 4
+    assert similarity.auto_band_planes(1 << 11, 64) == 5  # +1 per doubling
+    assert similarity.auto_band_planes(1 << 12, 64) == 6
+
+
+def test_band_candidates_subquadratic(spark):
+    """With the auto-sized band width, doubling n must grow banded
+    CANDIDATES strictly sub-quadratically, and strictly slower than the
+    fixed geometry at the same n (the sizing rule must actually bite)."""
+    rng = np.random.default_rng(11)
+
+    def make(n):
+        rows = [(i, [float(x) for x in rng.normal(0, 1, 32)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    small, big = 512, 1024
+    p_small = similarity.auto_band_planes(small, target_bucket_rows=8)
+    p_big = similarity.auto_band_planes(big, target_bucket_rows=8)
+    assert p_big == p_small + 1
+    counts = {}
+    for n, p in ((small, p_small), (big, p_big)):
+        planes = similarity.random_hyperplanes(32, 2 * p, seed=7)
+        counts[n] = similarity.band_candidates(make(n), planes, 2, p).count()
+    # fixed geometry doubles to ~4x (quadratic); the extra plane cuts it to
+    # ~3x on gaussian data (unbalanced cone splits — see auto_band_planes)
+    assert counts[big] < 3.7 * counts[small], counts
+    planes_fixed = similarity.random_hyperplanes(32, 2 * p_small, seed=7)
+    fixed_big = similarity.band_candidates(make(big), planes_fixed, 2, p_small).count()
+    assert counts[big] < fixed_big, (counts, fixed_big)
