@@ -127,6 +127,33 @@ def _encode_ts(ts: np.ndarray) -> tuple[bytes, bytes]:
     return head, _pack_codes(out_codes, out_lens)
 
 
+def _gather_fields(bits: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """Vectorized fixed-width MSB-first field extraction from a bit array:
+    value_r = Σ_j bits[starts_r + j] << (width-1-j). One (m, width) gather
+    per class instead of per-bit Python reads."""
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.uint64)
+    j = np.arange(width, dtype=np.int64)
+    g = bits[starts[:, None] + j[None, :]].astype(np.uint64)
+    w = (np.uint64(1) << (width - 1 - j).astype(np.uint64))
+    return (g * w[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def _record_starts(record_len_at: np.ndarray, n_records: int) -> np.ndarray:
+    """Walk the record chain: starts_{i+1} = starts_i + len(starts_i).
+    Record lengths are position-local for both streams (the encoder never
+    emits the value stream's window-reuse class), so the only sequential
+    work left is one scalar index per RECORD — the per-BIT Python reader
+    remains only as the legacy fallback."""
+    starts = np.empty(n_records, dtype=np.int64)
+    p = 0
+    ln = record_len_at  # local name: tight loop
+    for i in range(n_records):
+        starts[i] = p
+        p += ln[p]
+    return starts
+
+
 def _decode_ts(head: bytes, payload: bytes) -> np.ndarray:
     n, t0, d0 = struct.unpack("<Iqq", head)
     if n == 0:
@@ -137,22 +164,30 @@ def _decode_ts(head: bytes, payload: bytes) -> np.ndarray:
     out[0], out[1] = t0, t0 + d0
     if n == 2:
         return out
-    r = _BitReader(payload)
-    delta = d0
-    for i in range(2, n):
-        if r.read(1) == 0:
-            dod = 0
-        elif r.read(1) == 0:
-            dod = r.read(7) - 63
-        elif r.read(1) == 0:
-            dod = r.read(9) - 255
-        elif r.read(1) == 0:
-            dod = r.read(12) - 2047
-        else:
-            raw = r.read(64)
-            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-        delta += dod
-        out[i] = out[i - 1] + delta
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+    m = n - 2
+    # position-local record length: '0'→1, '10'→2+7, '110'→3+9, '1110'→4+12,
+    # '1111'→4+64 (vectorized over every bit offset, padded so the lookahead
+    # never walks off the end)
+    bp = np.concatenate([bits, np.zeros(4, dtype=np.uint8)])
+    B = len(bits)
+    L = np.select(
+        [bp[:B] == 0, bp[1:B + 1] == 0, bp[2:B + 2] == 0, bp[3:B + 3] == 0],
+        [1, 9, 12, 16],
+        default=68,
+    ).astype(np.int64)
+    starts = _record_starts(L, m)
+    rl = L[starts]
+    dod = np.zeros(m, dtype=np.int64)
+    for length, prelen, pay, off in ((9, 2, 7, 63), (12, 3, 9, 255), (16, 4, 12, 2047)):
+        sel = rl == length
+        dod[sel] = _gather_fields(bits, starts[sel] + prelen, pay).astype(np.int64) - off
+    raw_sel = rl == 68
+    if raw_sel.any():
+        raw = _gather_fields(bits, starts[raw_sel] + 4, 64)
+        dod[raw_sel] = raw.view(np.int64)  # two's complement
+    deltas = d0 + np.cumsum(dod)
+    out[2:] = (t0 + d0) + np.cumsum(deltas)
     return out
 
 
@@ -200,14 +235,13 @@ def _encode_vals(vals: np.ndarray) -> tuple[bytes, bytes]:
     return head, _pack_codes(out_codes, out_lens)
 
 
-def _decode_vals(n: int, head: bytes, payload: bytes) -> np.ndarray:
-    if n == 0:
-        return np.empty(0, dtype=np.float64)
-    (b0,) = struct.unpack("<Q", head)
+def _decode_vals_slow(n: int, b0: int, payload: bytes) -> np.ndarray:
+    """Sequential bit-reader decode — kept ONLY for foreign chunks using the
+    paper's '10' previous-window-reuse class, which our encoder never emits
+    (its record lengths are not position-local, so the vectorized chain walk
+    cannot apply)."""
     out = np.empty(n, dtype=np.uint64)
     out[0] = b0
-    if n == 1:
-        return out.view(np.float64)
     r = _BitReader(payload)
     cur_lead, cur_mlen = -1, -1
     for i in range(1, n):
@@ -224,6 +258,49 @@ def _decode_vals(n: int, head: bytes, payload: bytes) -> np.ndarray:
         xor = payload_bits << (64 - lead - mlen)
         out[i] = out[i - 1] ^ np.uint64(xor)
     return out.view(np.float64)
+
+
+def _decode_vals(n: int, head: bytes, payload: bytes) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    (b0,) = struct.unpack("<Q", head)
+    if n == 1:
+        return np.array([b0], dtype=np.uint64).view(np.float64)
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+    m = n - 1
+    B = len(bits)
+    # record length at position p: '0'→1; '11'+6+6+mlen → 14+mlen with the
+    # 6-bit mlen-1 field at p+8 (position-local; see fallback for '10')
+    bp = np.concatenate([bits, np.zeros(14, dtype=np.uint8)])
+    # 6-bit mlen field at every offset via shifted SLICES (6 adds), not a
+    # (B, 6) fancy gather — the gather dominated decode at large chunks
+    mlen_at = np.zeros(B, dtype=np.int64)
+    for j in range(6):
+        mlen_at += bp[8 + j:8 + j + B].astype(np.int64) << (5 - j)
+    mlen_at += 1
+    L = np.where(bp[:B] == 0, 1, 14 + mlen_at)
+    starts = _record_starts(L, m)
+    changed = bits[starts] == 1
+    s_ch = starts[changed]
+    if len(s_ch) and not bits[s_ch + 1].all():
+        return _decode_vals_slow(n, b0, payload)  # '10' reuse class present
+    xors = np.zeros(m, dtype=np.uint64)
+    if len(s_ch):
+        lead = _gather_fields(bits, s_ch + 2, 6).astype(np.int64)
+        mlen = _gather_fields(bits, s_ch + 8, 6).astype(np.int64) + 1
+        # xor_r = Σ_{j<mlen} bit[p+14+j] << (63 - lead_r - j): the shift
+        # depends only on (lead, j), so one masked (m, 64) gather covers all
+        # variable-width payloads at once
+        j = np.arange(64, dtype=np.int64)
+        mask = j[None, :] < mlen[:, None]
+        idx = np.where(mask, s_ch[:, None] + 14 + j[None, :], 0)
+        g = bits[idx].astype(np.uint64) * mask
+        shift = np.where(mask, 63 - lead[:, None] - j[None, :], 0).astype(np.uint64)
+        xors[changed] = (g << shift).sum(axis=1, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = b0
+    out[1:] = xors
+    return np.bitwise_xor.accumulate(out).view(np.float64)
 
 
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:

@@ -260,6 +260,15 @@ def ivf_train_centroids(
     (IVF codebooks are tiny and trained once; the sample cap keeps the
     driver safe at any table size).
 
+    Codebook lifecycle at 100 TB: the codebook is versioned metadata, not
+    state — retrain offline on a fresh sample only when cell-occupancy skew
+    degrades (e.g. max/median cell size > ~8x, or nprobe recall drops on a
+    held-out query set), then rewrite `ivf_cell` for new partitions first
+    and backfill old ones lazily; queries pin the codebook version their
+    partition was written with, so a retrain is never a stop-the-world
+    rebuild. Embedding-distribution drift is slow relative to ingest, so a
+    weekly-to-monthly cadence is typical.
+
     Fully replayable construction (the SQL oracle reruns Lloyd's exactly):
     the sample is the first ``sample_rows`` rows by ``id_col`` (a LIMIT
     without ORDER BY is partition-order-dependent), init is the first
