@@ -35,12 +35,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id=None,
+    fan: bool = True,
 ) -> DataFrame:
-    """Brute-force cosine top-k against a literal query vector."""
+    """Brute-force cosine top-k against a literal query vector.
+
+    ``fan=False`` skips the fan_out partition probe — callers whose input
+    was already fanned upstream (lsh/ivf bucket assignment fans the base
+    table) pass it, because the probe itself costs a full physical-planning
+    pass over the accumulated plan (~3 s measured on the IVF tree)."""
     q = [float(v) for v in query_vec]
     qcol = F.array(*[F.lit(v) for v in q])
     qn = float(np.sqrt(sum(v * v for v in q)))
-    e = fan_out(emb).withColumn("__d", as_double(F.col(vec_col)))
+    e = (fan_out(emb) if fan else emb).withColumn("__d", as_double(F.col(vec_col)))
     cos = F.round(_dot(F.col("__d"), qcol) / (F.sqrt(_norm2(F.col("__d"))) * F.lit(qn)), 6)
     out = e.select(id_col, cos.alias("cos_sim"))
     if exclude_id is not None:
@@ -109,7 +115,7 @@ def lsh_topk(
         if float(np.dot(q, np.asarray(p))) > 0:
             bucket |= 1 << i
     cand = emb_bucketed.where(F.col("lsh_bucket") == bucket)
-    return cosine_topk(cand, list(map(float, q)), k, id_col, vec_col)
+    return cosine_topk(cand, list(map(float, q)), k, id_col, vec_col, fan=False)
 
 
 def band_candidates(
@@ -327,12 +333,20 @@ def with_ivf_cell(
         diff = F.zip_with(q, ccol, lambda a, b: a - b)
         return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
 
-    dists = [dist2(c) for c in cq]
-    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    # Project each distance ONCE, then argmin over plain column refs: the
+    # earlier single-expression form repeated every dist2 tree inside
+    # least() AND each CASE arm — k × (k+1) copies of a k·dim-literal
+    # expression that cost ~7 s of DRIVER-side Catalyst analysis at
+    # k=8/dim=64 (execution itself was 2 s). Same physical work, linear
+    # plan size.
+    dcols = [f"__ivfd{i}" for i in range(len(cq))]
+    proj = emb.select("*", *[dist2(c).alias(n) for c, n in zip(cq, dcols)])
+    refs = [F.col(n) for n in dcols]
+    best = F.least(*refs) if len(refs) > 1 else refs[0]
     cell = F.lit(0)
-    for i in range(len(dists) - 1, -1, -1):
-        cell = F.when(dists[i] == best, F.lit(i)).otherwise(cell)
-    return emb.withColumn("ivf_cell", cell)
+    for i in range(len(refs) - 1, -1, -1):
+        cell = F.when(refs[i] == best, F.lit(i)).otherwise(cell)
+    return proj.withColumn("ivf_cell", cell).drop(*dcols)
 
 
 def ivf_topk(
@@ -351,4 +365,4 @@ def ivf_topk(
     cent = np.asarray(centroids, dtype=np.float64)
     order = np.argsort(((_quantize(cent) - _quantize(q)) ** 2).sum(axis=1))[:nprobe]
     cand = emb_celled.where(F.col("ivf_cell").isin([int(c) for c in order]))
-    return cosine_topk(cand, [float(v) for v in q], k, id_col, vec_col)
+    return cosine_topk(cand, [float(v) for v in q], k, id_col, vec_col, fan=False)
