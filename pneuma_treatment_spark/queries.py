@@ -2369,7 +2369,13 @@ def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dedup_stream(stream, text_col="text", ts_col="ts", watermark="30 minutes")
     name = f"dedup_stream_sink_{next(_SINK_SEQ)}"
-    run_to_memory_sink(out, name=name)
+    try:
+        run_to_memory_sink(out, name=name)
+    finally:
+        # the memory-sink table owns the rows; the staged files are disposable
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select("doc_id", "text_hash")
 
 

@@ -154,3 +154,26 @@ def test_bucketed_tables_join_without_exchange(spark, transcripts_df, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_chunk_write_single_exchange(spark):
+    """write_chunks must add exactly ONE exchange (the conv-bucket shuffle
+    feeding applyInPandas) on top of an already-aggregated rollup input."""
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.compression.chunks import write_chunks
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    r = (
+        e.groupBy(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+        .withColumn("tier", F.lit("1m"))
+    )
+    # formatted explain mentions each node twice (tree + detail section);
+    # count tree lines only
+    base_exchanges = _plan(r).count("+- Exchange")
+    plan = _plan(write_chunks(r, metrics=("n_events",), group_buckets=8))
+    assert plan.count("+- Exchange") == base_exchanges + 1, plan
