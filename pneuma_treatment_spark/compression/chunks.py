@@ -117,26 +117,30 @@ def write_chunks(
 
 def read_chunks(chunks: DataFrame) -> DataFrame:
     """Explode Gorilla chunk rows back into (conv_id, tier, metric,
-    bucket_ts, value) points."""
+    bucket_ts, value) points.
+
+    Decodes each Arrow batch of chunks in ONE vectorized
+    :func:`~pneuma_treatment_spark.compression.gorilla.decode_chunks` pass
+    and assembles the output columnar (np.repeat keys over concatenated
+    series) — per-chunk decode + per-chunk DataFrame construction was
+    ~300 µs/chunk, the read path's wall for tiers storing millions of
+    small chunks."""
+    from pneuma_treatment_spark.compression.gorilla import decode_chunks
 
     def dec(batches):
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                ts, vals = decode_chunk(bytes(r.chunk))
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": r.conv_id,
-                            "tier": r.tier,
-                            "metric": r.metric,
-                            "bucket_ts": pd.to_datetime(ts, unit="us"),
-                            "value": vals,
-                        }
-                    )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
+            if not len(pdf):
+                continue
+            lens, ts, vals = decode_chunks(list(pdf["chunk"]))
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), lens),
+                    "tier": np.repeat(pdf["tier"].to_numpy(), lens),
+                    "metric": np.repeat(pdf["metric"].to_numpy(), lens),
+                    "bucket_ts": pd.to_datetime(ts, unit="us"),
+                    "value": vals,
+                }
+            )
 
     return chunks.mapInPandas(dec, POINT_SCHEMA)
 

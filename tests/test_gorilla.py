@@ -113,3 +113,46 @@ def test_chunk_compression_on_partials(spark, transcripts_df):
         .collect()[0]
     )
     assert r["b"] < r["p"] * 16
+
+
+def test_decode_chunks_batch_equals_single():
+    """Batched decode must be bit-identical to per-chunk decode across edge
+    shapes: empty, 1-, 2-, n-point chunks; NaN payloads; constant series;
+    int-valued and full-entropy doubles."""
+    import numpy as np
+
+    from pneuma_treatment_spark.compression.gorilla import (
+        decode_chunk,
+        decode_chunks,
+        encode_chunk,
+    )
+
+    rng = np.random.default_rng(99)
+    blobs, refs = [], []
+    for i in range(300):
+        n = int(rng.integers(0, 40)) if i % 5 else int(rng.choice([0, 1, 2]))
+        ts = np.sort(rng.integers(0, 10**12, n)).astype(np.int64)
+        kind = i % 4
+        if kind == 0:
+            vals = rng.integers(-5000, 5000, n).astype(np.float64)
+        elif kind == 1:
+            vals = rng.normal(0, 1e9, n)
+        elif kind == 2:
+            vals = np.full(n, -2.5)
+        else:
+            vals = rng.normal(0, 1, n)
+            vals[rng.random(n) < 0.3] = np.nan
+        blobs.append(encode_chunk(ts, vals))
+        refs.append((ts, vals))
+    lens, tsb, vb = decode_chunks(blobs)
+    off = 0
+    for i, (ts, vals) in enumerate(refs):
+        nl = int(lens[i])
+        assert nl == len(ts)
+        assert np.array_equal(tsb[off:off + nl], ts)
+        assert np.array_equal(
+            vb[off:off + nl].view(np.uint64), vals.view(np.uint64)
+        )
+        t1, v1 = decode_chunk(blobs[i])
+        assert np.array_equal(t1, ts)
+        off += nl
