@@ -166,6 +166,48 @@ def band_candidates(
     )
 
 
+def band_buckets_arrow(
+    emb: DataFrame,
+    planes: list[list[float]],
+    n_bands: int,
+    band_planes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) rows via ONE Arrow-batched numpy matmul per batch:
+    sign bits = (M @ P.T) > 0, folded to per-band bucket ints. The
+    scale-path twin of the column-expression form inside
+    :func:`band_candidates` — Spark's higher-order functions evaluate
+    interpreted per ELEMENT (~100 ns), so the bucket stage costs
+    n·planes·dim interpreted ops; the matmul does the same flops vectorized
+    (~200× on the per-element cost). Fold-order caveat: BLAS reductions
+    associate differently than the sequential HOF fold, so a projection
+    within ~1e-13 of zero can flip a bit — same accepted envelope as the
+    cross-engine oracle caveat on :func:`cosine_band_pairs`."""
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_bands*band_planes, dim)
+    weights = (1 << np.arange(band_planes, dtype=np.int64))
+
+    def f(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (M @ P.T) > 0  # (m, n_bands*band_planes)
+            buckets = bits.reshape(len(pdf), n_bands, band_planes) @ weights
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return emb.mapInPandas(f, "id long, band int, bucket long")
+
+
 def auto_band_planes(n: int, target_bucket_rows: int = 64) -> int:
     """Sizing rule for sign-LSH band width: per band the expected bucket
     occupancy is ~n / 2^planes, so with FIXED planes the per-band candidate
@@ -195,11 +237,17 @@ def cosine_band_pairs(
     vec_col: str = "embedding",
     approx_n: int | None = None,
     target_bucket_rows: int = 64,
+    bucket_method: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-LSH (the dedup-family
     member over vectors): candidates from :func:`band_candidates`, then
     verified by exact cosine (rounded to 6 dp) ≥ threshold. Planes are the
     integer-LCG family, so a SQL oracle replays candidate generation exactly.
+
+    ``bucket_method="arrow"`` (default) computes band buckets with an
+    Arrow-batched numpy matmul (:func:`band_buckets_arrow` — the 100 TB hot
+    loop); ``"hof"`` keeps the pure column-expression form whose float fold
+    order the SQL oracle replays bit-for-bit (the driver query pins it).
 
     ``band_planes=None`` sizes the band width from the table via
     :func:`auto_band_planes` (pass ``approx_n`` to skip the count job). The
@@ -226,7 +274,21 @@ def cosine_band_pairs(
         band_planes = auto_band_planes(n, target_bucket_rows)
     planes = random_hyperplanes(dim, n_bands * band_planes, seed)
     d = as_double(F.col(vec_col))
-    ids = band_candidates(emb, planes, n_bands, band_planes, id_col, vec_col)
+    if bucket_method == "arrow":
+        banded = band_buckets_arrow(emb, planes, n_bands, band_planes, id_col, vec_col)
+        a, b = banded.alias("a"), banded.alias("b")
+        ids = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        ids = band_candidates(emb, planes, n_bands, band_planes, id_col, vec_col)
     # norms computed ONCE per vector on the join-back sides, not per pair
     cand = ids.join(
         emb.select(

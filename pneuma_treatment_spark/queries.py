@@ -2466,9 +2466,18 @@ def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     family): banded sign-LSH candidates (4 bands × 4 planes, OR-amplified —
     no all-pairs join) verified by exact cosine ≥ 0.4 (this synth table has
     no true near-dups; the threshold sits where the candidate set is
-    non-trivial). LCG planes → the oracle replays candidates exactly."""
+    non-trivial). LCG planes → the oracle replays candidates exactly.
+    ``bucket_method="hof"`` pins the sequential column-expression fold the
+    SQL twin reproduces bit-for-bit (the Arrow-matmul scale default uses
+    BLAS fold order — same values away from zero, but the hash gate demands
+    the identical fold)."""
     from pneuma_treatment_spark.operators.similarity import cosine_band_pairs
 
     return cosine_band_pairs(
-        _load(spark, sf_dir, "embeddings"), threshold=0.4, n_bands=4, band_planes=4, seed=7
+        _load(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_bands=4,
+        band_planes=4,
+        seed=7,
+        bucket_method="hof",
     )

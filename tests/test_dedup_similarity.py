@@ -245,3 +245,22 @@ def test_band_candidates_subquadratic(spark):
     planes_fixed = similarity.random_hyperplanes(32, 2 * p_small, seed=7)
     fixed_big = similarity.band_candidates(make(big), planes_fixed, 2, p_small).count()
     assert counts[big] < fixed_big, (counts, fixed_big)
+
+
+def test_band_pairs_arrow_equals_hof(emb):
+    """The Arrow-matmul bucket path must produce the same verified pairs as
+    the column-expression path on the clustered fixture (projections are
+    far from zero, so BLAS vs sequential fold order cannot flip a sign)."""
+    hof = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_band_pairs(
+            emb, threshold=0.95, bucket_method="hof"
+        ).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_band_pairs(
+            emb, threshold=0.95, bucket_method="arrow"
+        ).collect()
+    }
+    assert arrow == hof and len(arrow) > 0
