@@ -66,44 +66,42 @@ def write_chunks(
     def enc_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         # one bucket-wide sort + numpy slice bounds instead of a pandas
         # groupby over millions of tiny series (per-group frame construction
-        # dominated the stage, not the encoding)
+        # dominated the stage, not the encoding), and ONE batched
+        # encode_chunks call per metric instead of a per-series encode
+        # (per-chunk numpy dispatch was ~260 µs on 2-8-point series — 28x)
+        from pneuma_treatment_spark.compression.gorilla import encode_chunks
+
         pdf = pdf.sort_values(["conv_id", "tier", "bucket_ts"]).reset_index(drop=True)
         conv = pdf["conv_id"].to_numpy()
         tier = pdf["tier"].to_numpy()
         ts64 = pdf["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        vals = {m: pdf[m].to_numpy(dtype=np.float64) for m in metrics}
         n = len(pdf)
         change = np.zeros(n, dtype=bool)
         if n:
             change[0] = True
             change[1:] = (conv[1:] != conv[:-1]) | (tier[1:] != tier[:-1])
-        bounds = np.append(np.flatnonzero(change), n)
-        c_conv: list = []
-        c_tier: list = []
-        c_metric: list = []
-        c_np: list = []
-        c_start: list = []
-        c_end: list = []
-        c_chunk: list = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            ts_us = ts64[s:e]
-            for m in metrics:
-                c_conv.append(conv[s])
-                c_tier.append(tier[s])
-                c_metric.append(m)
-                c_np.append(e - s)
-                c_start.append(ts_us[0])
-                c_end.append(ts_us[-1])
-                c_chunk.append(encode_chunk(ts_us, vals[m][s:e]))
+        firsts = np.flatnonzero(change)
+        bounds = np.append(firsts, n)
+        lengths = np.diff(bounds)
+        nseries = len(firsts)
+        lasts = bounds[1:] - 1
+        conv_s = conv[firsts] if nseries else conv[:0]
+        tier_s = tier[firsts] if nseries else tier[:0]
+        start_s = ts64[firsts] if nseries else ts64[:0]
+        end_s = ts64[lasts] if nseries else ts64[:0]
+        blobs: list = []
+        for m in metrics:
+            blobs.extend(encode_chunks(ts64, pdf[m].to_numpy(dtype=np.float64), lengths))
+        k = len(metrics)
         return pd.DataFrame(
             {
-                "conv_id": c_conv,
-                "tier": c_tier,
-                "metric": c_metric,
-                "n_points": np.array(c_np, dtype=np.int32),
-                "start_ts": pd.to_datetime(np.array(c_start, dtype=np.int64), unit="us"),
-                "end_ts": pd.to_datetime(np.array(c_end, dtype=np.int64), unit="us"),
-                "chunk": c_chunk,
+                "conv_id": np.tile(conv_s, k),
+                "tier": np.tile(tier_s, k),
+                "metric": np.repeat(np.array(metrics, dtype=object), nseries),
+                "n_points": np.tile(lengths.astype(np.int32), k),
+                "start_ts": pd.to_datetime(np.tile(start_s, k), unit="us"),
+                "end_ts": pd.to_datetime(np.tile(end_s, k), unit="us"),
+                "chunk": blobs,
             }
         )
 

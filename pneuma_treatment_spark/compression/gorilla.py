@@ -535,3 +535,200 @@ def decode_chunks(blobs: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         vals_out[oidx] = true_vals
 
     return n_arr, ts_out, vals_out.view(np.float64)
+
+
+# --------------------------------------------------------------------------
+# batched encode: many chunks in one vectorized pass
+# --------------------------------------------------------------------------
+
+def _segment_index(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenated [starts_i, starts_i+1, …) index ranges."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.repeat(starts, counts) + (
+        np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    )
+
+
+def _pack_segmented(
+    codes: np.ndarray, lens: np.ndarray, entry_starts: np.ndarray, entry_counts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Pack per-chunk entry runs into ONE bit stream, padding each chunk to a
+    byte boundary so its payload slices out byte-aligned and BYTE-IDENTICAL
+    to a per-chunk :func:`_pack_codes`. Returns (packed, byte_offsets) with
+    ``byte_offsets`` of length nchunks+1."""
+    n = len(entry_starts)
+    seg_bits = np.zeros(n, dtype=np.int64)
+    if len(lens):
+        cl = np.cumsum(lens)
+        ends = entry_starts + entry_counts
+        hi = np.where(ends > 0, cl[np.maximum(ends - 1, 0)], 0)
+        lo = np.where(entry_starts > 0, cl[entry_starts - 1], 0)
+        seg_bits = np.where(entry_counts > 0, hi - lo, 0)
+    pad = (-seg_bits) % 8
+    # interleave a zero-code pad entry after each chunk's entries
+    m = len(codes)
+    out_codes = np.zeros(m + n, dtype=np.uint64)
+    out_lens = np.zeros(m + n, dtype=np.int64)
+    dst = _segment_index(
+        np.concatenate([[0], np.cumsum(entry_counts + 1)[:-1]]), entry_counts
+    )
+    out_codes[dst] = codes
+    out_lens[dst] = lens
+    pad_pos = np.cumsum(entry_counts + 1) - 1
+    out_lens[pad_pos] = pad
+    packed = _pack_codes(out_codes, out_lens)
+    byte_offsets = np.concatenate([[0], np.cumsum((seg_bits + pad) // 8)])
+    return packed, byte_offsets
+
+
+def _ts_entries(dod: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized delta-of-delta entry construction (same classes as
+    :func:`_encode_ts`). Returns (codes, lens, entries_per_dod)."""
+    n = len(dod)
+    codes = np.zeros(n, dtype=np.uint64)
+    lens = np.ones(n, dtype=np.int64)
+    done = dod == 0
+    for bound, off, pay, pre, prelen in zip(
+        _TS_BOUNDS, _TS_OFFS, _TS_PAYLOAD, _TS_PREFIX, _TS_PREFIX_LEN
+    ):
+        sel = (~done) & (dod >= -(bound - 1)) & (dod <= bound)
+        codes[sel] = (np.uint64(pre) << np.uint64(pay)) | (dod[sel] + off).astype(np.uint64)
+        lens[sel] = prelen + pay
+        done |= sel
+    rest = ~done
+    per = np.where(rest, 2, 1).astype(np.int64)
+    total = int(per.sum())
+    out_codes = np.zeros(total, dtype=np.uint64)
+    out_lens = np.empty(total, dtype=np.int64)
+    starts = (
+        np.concatenate([[0], np.cumsum(per)[:-1]]) if len(per)
+        else np.zeros(0, dtype=np.int64)
+    )
+    out_codes[starts] = codes
+    out_lens[starts] = lens
+    s_r = starts[rest]
+    out_codes[s_r] = 0b1111
+    out_lens[s_r] = 4
+    out_codes[s_r + 1] = dod[rest].astype(np.uint64)
+    out_lens[s_r + 1] = 64
+    return out_codes, out_lens, per
+
+
+def _val_entries(xor: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized XOR entry construction (same form as :func:`_encode_vals`:
+    '0' for repeats, explicit '11'+6+6+payload for changes)."""
+    nz = xor != 0
+    lead = (64 - _bit_length_u64(xor)).astype(np.uint64)
+    trail = _trailing_zeros_u64(xor).astype(np.uint64)
+    mlen = np.where(nz, 64 - lead - trail, 0).astype(np.uint64)
+    per = np.where(nz, 4, 1).astype(np.int64)
+    total = int(per.sum())
+    out_codes = np.zeros(total, dtype=np.uint64)
+    out_lens = np.empty(total, dtype=np.int64)
+    starts = (
+        np.concatenate([[0], np.cumsum(per)[:-1]]) if len(per)
+        else np.zeros(0, dtype=np.int64)
+    )
+    out_lens[starts] = 1
+    s_nz = starts[nz]
+    m = int(nz.sum())
+    if m:
+        out_codes[s_nz] = 0b11
+        out_lens[s_nz] = 2
+        out_codes[s_nz + 1] = lead[nz]
+        out_lens[s_nz + 1] = 6
+        out_codes[s_nz + 2] = mlen[nz] - np.uint64(1)
+        out_lens[s_nz + 2] = 6
+        out_codes[s_nz + 3] = xor[nz] >> trail[nz]
+        out_lens[s_nz + 3] = mlen[nz].astype(np.int64)
+    return out_codes, out_lens, per
+
+
+def encode_chunks(
+    ts_concat: np.ndarray, vals_concat: np.ndarray, lengths: np.ndarray
+) -> list:
+    """Encode MANY series (concatenated, with per-series ``lengths``) in one
+    vectorized pass; returns one blob per series, BYTE-IDENTICAL to
+    :func:`encode_chunk` per chunk (pinned by tests/test_gorilla.py).
+    Per-chunk numpy dispatch (~260 µs on 2-8-point series) is the write
+    path's wall when a tier stores millions of tiny chunks."""
+    ts_concat = np.asarray(ts_concat, dtype=np.int64)
+    vals_concat = np.asarray(vals_concat, dtype=np.float64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    nch = len(lengths)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+
+    # ---- headers -----------------------------------------------------------
+    has1 = lengths >= 1
+    has2 = lengths >= 2
+    t0 = np.where(has1, ts_concat[np.minimum(starts, len(ts_concat) - 1)] if len(ts_concat) else 0, 0)
+    d0 = np.where(
+        has2,
+        (ts_concat[np.minimum(starts + 1, len(ts_concat) - 1)] - t0) if len(ts_concat) else 0,
+        0,
+    )
+    bits_all = vals_concat.view(np.uint64) if len(vals_concat) else np.zeros(0, np.uint64)
+    b0 = np.where(has1, bits_all[np.minimum(starts, max(len(bits_all) - 1, 0))] if len(bits_all) else 0, 0).astype(np.uint64)
+
+    # ---- ts payloads (chunks with n > 2) -----------------------------------
+    mts = np.maximum(lengths - 2, 0)
+    dod_idx = _segment_index(starts + 2, mts)
+    dod = (
+        ts_concat[dod_idx] - 2 * ts_concat[dod_idx - 1] + ts_concat[dod_idx - 2]
+        if len(dod_idx)
+        else np.zeros(0, np.int64)
+    )
+    t_codes, t_lens, t_per = _ts_entries(dod)
+    # per-chunk entry counts from per-dod entry counts
+    ch_of_dod = np.repeat(np.arange(nch), mts)
+    t_entry_counts = np.bincount(ch_of_dod, weights=t_per, minlength=nch).astype(np.int64)
+    t_entry_starts = np.concatenate([[0], np.cumsum(t_entry_counts)[:-1]])
+    tp_all, tp_off = _pack_segmented(t_codes, t_lens, t_entry_starts, t_entry_counts)
+
+    # ---- value payloads (chunks with n > 1) --------------------------------
+    mv = np.maximum(lengths - 1, 0)
+    x_idx = _segment_index(starts + 1, mv)
+    xor = (
+        bits_all[x_idx] ^ bits_all[x_idx - 1] if len(x_idx) else np.zeros(0, np.uint64)
+    )
+    v_codes, v_lens, v_per = _val_entries(xor)
+    ch_of_x = np.repeat(np.arange(nch), mv)
+    v_entry_counts = np.bincount(ch_of_x, weights=v_per, minlength=nch).astype(np.int64)
+    v_entry_starts = np.concatenate([[0], np.cumsum(v_entry_counts)[:-1]])
+    vp_all, vp_off = _pack_segmented(v_codes, v_lens, v_entry_starts, v_entry_counts)
+
+    # ---- assembly ----------------------------------------------------------
+    hdt = np.dtype(
+        {"names": ["n", "t0", "d0"], "formats": ["<u4", "<i8", "<i8"],
+         "offsets": [0, 4, 12], "itemsize": 20}
+    )
+    heads = np.zeros(nch, dtype=hdt)
+    heads["n"] = lengths
+    heads["t0"] = t0
+    heads["d0"] = d0
+    head_bytes = heads.tobytes()
+    b0_bytes = b0.astype("<u8").tobytes()
+    tp_len = (tp_off[1:] - tp_off[:-1]).astype("<u4")
+    vp_len = (vp_off[1:] - vp_off[:-1]).astype("<u4")
+    tp_len_b = tp_len.tobytes()
+    vp_len_b = vp_len.tobytes()
+    tp_mv = memoryview(tp_all)
+    vp_mv = memoryview(vp_all)
+    out = []
+    for i in range(nch):
+        out.append(
+            b"".join(
+                (
+                    _MAGIC,
+                    head_bytes[i * 20:(i + 1) * 20],
+                    tp_len_b[i * 4:(i + 1) * 4],
+                    tp_mv[tp_off[i]:tp_off[i + 1]],
+                    b0_bytes[i * 8:(i + 1) * 8],
+                    vp_len_b[i * 4:(i + 1) * 4],
+                    vp_mv[vp_off[i]:vp_off[i + 1]],
+                )
+            )
+        )
+    return out

@@ -156,3 +156,35 @@ def test_decode_chunks_batch_equals_single():
         t1, v1 = decode_chunk(blobs[i])
         assert np.array_equal(t1, ts)
         off += nl
+
+
+def test_encode_chunks_batch_byte_identical():
+    """Batched encode must produce BYTE-IDENTICAL blobs to per-chunk
+    encode_chunk across edge shapes."""
+    import numpy as np
+
+    from pneuma_treatment_spark.compression.gorilla import encode_chunk, encode_chunks
+
+    rng = np.random.default_rng(13)
+    lens, ts_l, vs_l, singles = [], [], [], []
+    for i in range(400):
+        n = int(rng.integers(0, 40)) if i % 5 else int(rng.choice([0, 1, 2, 3]))
+        ts = np.sort(rng.integers(0, 10**12, n)).astype(np.int64)
+        kind = i % 4
+        if kind == 0:
+            vals = rng.integers(-5000, 5000, n).astype(np.float64)
+        elif kind == 1:
+            vals = rng.normal(0, 1e9, n)
+        elif kind == 2:
+            vals = np.full(n, -2.5)
+        else:
+            vals = rng.normal(0, 1, n)
+            vals[rng.random(n) < 0.3] = np.nan
+        lens.append(n)
+        ts_l.append(ts)
+        vs_l.append(vals)
+        singles.append(encode_chunk(ts, vals))
+    batch = encode_chunks(
+        np.concatenate(ts_l), np.concatenate(vs_l), np.array(lens)
+    )
+    assert all(bytes(batch[i]) == singles[i] for i in range(len(singles)))
