@@ -35,6 +35,14 @@ def test_gorilla_roundtrip_any_floats(ts0, deltas, data):
     assert np.array_equal(ts, ts2)
     # bit-level equality: NaN payloads and signed zeros must survive
     assert np.array_equal(vals.view(np.uint64), vals2.view(np.uint64))
+    # the batched paths must agree bit-for-bit on the same series
+    from pneuma_treatment_spark.compression.gorilla import decode_chunks, encode_chunks
+
+    (batch_blob,) = encode_chunks(ts, vals, np.array([len(ts)]))
+    assert bytes(batch_blob) == blob
+    lens, ts3, vals3 = decode_chunks([blob])
+    assert lens[0] == len(ts) and np.array_equal(ts3, ts)
+    assert np.array_equal(vals3.view(np.uint64), vals.view(np.uint64))
 
 
 def _merge_reference(mask: np.ndarray, max_gap: int = 10) -> np.ndarray:
