@@ -188,3 +188,9 @@ def test_encode_chunks_batch_byte_identical():
         np.concatenate(ts_l), np.concatenate(vs_l), np.array(lens)
     )
     assert all(bytes(batch[i]) == singles[i] for i in range(len(singles)))
+    # empty batches are valid no-ops on both sides
+    from pneuma_treatment_spark.compression.gorilla import decode_chunks
+
+    assert encode_chunks(np.zeros(0), np.zeros(0), np.zeros(0, dtype=np.int64)) == []
+    l0, t0, v0 = decode_chunks([])
+    assert len(l0) == 0 and len(t0) == 0 and len(v0) == 0

@@ -180,3 +180,41 @@ def test_sessionize_idle_timeout_closes_sessions(spark, tmp_path):
     base_us = int(base.timestamp()) * 1_000_000
     assert c1.iloc[0]["start_us"] == base_us
     assert c1.iloc[0]["end_us"] == base_us + 3 * 60_000_000
+
+
+def test_stream_tumbling_rollup_closed_window_rule(spark, tmp_path):
+    """The generic event-stream rollup emits exactly the windows whose end
+    precedes (ms-floored max event time − delay) — the rule the
+    rollup_stream driver oracle encodes."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.streaming.rollup_stream import (
+        run_to_memory_sink,
+        stream_tumbling_rollup,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        ("a", base + dt.timedelta(seconds=90 * i), float(i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    src = str(tmp_path / "tumbling_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k string, ts timestamp, v double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = stream_tumbling_rollup(
+        stream, ["k"], [F.count(F.lit(1)).alias("n")], watermark="5 minutes"
+    )
+    run_to_memory_sink(out, name="t_tumbling")
+    got = {r["bucket_ts"] for r in spark.table("t_tumbling").collect()}
+    mx = max(r[1] for r in rows)
+    wm = mx.replace(microsecond=(mx.microsecond // 1000) * 1000) - dt.timedelta(minutes=5)
+    want = {
+        r[1].replace(second=0, microsecond=0)
+        for r in rows
+        if r[1].replace(second=0, microsecond=0) + dt.timedelta(minutes=1) <= wm
+    }
+    assert got == want and len(want) > 5
