@@ -16,7 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from pneuma_treatment_spark.compression.gorilla import decode_chunk, encode_chunk
+from pneuma_treatment_spark.compression.gorilla import decode_chunks, encode_chunks
+
 
 # Store the EXACT integer partials, never derived float rates: the XOR
 # codec compresses integer-valued doubles ~2x (trailing-zero mantissas)
@@ -69,8 +70,6 @@ def write_chunks(
         # dominated the stage, not the encoding), and ONE batched
         # encode_chunks call per metric instead of a per-series encode
         # (per-chunk numpy dispatch was ~260 µs on 2-8-point series — 28x)
-        from pneuma_treatment_spark.compression.gorilla import encode_chunks
-
         pdf = pdf.sort_values(["conv_id", "tier", "bucket_ts"]).reset_index(drop=True)
         conv = pdf["conv_id"].to_numpy()
         tier = pdf["tier"].to_numpy()
@@ -123,8 +122,6 @@ def read_chunks(chunks: DataFrame) -> DataFrame:
     series) — per-chunk decode + per-chunk DataFrame construction was
     ~300 µs/chunk, the read path's wall for tiers storing millions of
     small chunks."""
-    from pneuma_treatment_spark.compression.gorilla import decode_chunks
-
     def dec(batches):
         for pdf in batches:
             if not len(pdf):

@@ -139,16 +139,23 @@ def _gather_fields(bits: np.ndarray, starts: np.ndarray, width: int) -> np.ndarr
     return (g * w[None, :]).sum(axis=1, dtype=np.uint64)
 
 
-def _record_starts(record_len_at: np.ndarray, n_records: int) -> np.ndarray:
+def _record_starts(
+    record_len_at: np.ndarray, n_records: int, limit: int | None = None
+) -> np.ndarray | None:
     """Walk the record chain: starts_{i+1} = starts_i + len(starts_i).
     Record lengths are position-local for both streams (the encoder never
     emits the value stream's window-reuse class), so the only sequential
     work left is one scalar index per RECORD — the per-BIT Python reader
-    remains only as the legacy fallback."""
+    remains only as the legacy fallback. Returns None when the walk runs
+    past ``limit`` — a foreign '10'-class record desyncs the lengths, and
+    the caller must fall back to the sequential reader."""
     starts = np.empty(n_records, dtype=np.int64)
     p = 0
+    lim = limit if limit is not None else len(record_len_at)
     ln = record_len_at  # local name: tight loop
     for i in range(n_records):
+        if p >= lim:
+            return None
         starts[i] = p
         p += ln[p]
     return starts
@@ -177,6 +184,8 @@ def _decode_ts(head: bytes, payload: bytes) -> np.ndarray:
         default=68,
     ).astype(np.int64)
     starts = _record_starts(L, m)
+    if starts is None:
+        raise ValueError("corrupt Gorilla timestamp stream")
     rl = L[starts]
     dod = np.zeros(m, dtype=np.int64)
     for length, prelen, pay, off in ((9, 2, 7, 63), (12, 3, 9, 255), (16, 4, 12, 2047)):
@@ -280,6 +289,9 @@ def _decode_vals(n: int, head: bytes, payload: bytes) -> np.ndarray:
     mlen_at += 1
     L = np.where(bp[:B] == 0, 1, 14 + mlen_at)
     starts = _record_starts(L, m)
+    if starts is None:
+        # a '10' reuse-class record desynced the position-local lengths
+        return _decode_vals_slow(n, b0, payload)
     changed = bits[starts] == 1
     s_ch = starts[changed]
     if len(s_ch) and not bits[s_ch + 1].all():
@@ -377,15 +389,22 @@ def _val_record_lengths(bits: np.ndarray) -> np.ndarray:
     return np.where(bp[:B] == 0, 1, 15 + mlen_at)
 
 
-def _walk_records(L: np.ndarray, offsets: np.ndarray, counts: np.ndarray) -> np.ndarray:
+def _walk_records(
+    L: np.ndarray, offsets: np.ndarray, counts: np.ndarray, ends: np.ndarray
+) -> np.ndarray | None:
     """Concatenated record-boundary walk: one scalar index per record, with
     the cursor reset to each chunk's bit offset. The ONLY per-record Python
-    in the batched decode."""
+    in the batched decode. Returns None if any chunk's walk crosses its
+    payload end — a foreign '10'-class record desyncs the position-local
+    lengths, and the caller must fall back to per-chunk decode (which makes
+    the same detection record-exactly)."""
     starts = np.empty(int(counts.sum()), dtype=np.int64)
     k = 0
-    for off, m in zip(offsets.tolist(), counts.tolist()):
+    for off, m, end in zip(offsets.tolist(), counts.tolist(), ends.tolist()):
         p = off
         for _ in range(int(m)):
+            if p >= end:
+                return None
             starts[k] = p
             p += L[p]
             k += 1
@@ -460,7 +479,10 @@ def decode_chunks(blobs: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         sel_off = 8 * np.concatenate([[0], np.cumsum(sel_lens)[:-1]])
         ms = (n_arr[sel_idx] - 2).astype(np.int64)
         L = _ts_record_lengths(bits)
-        starts = _walk_records(L, sel_off, ms)
+        sel_ends = sel_off + 8 * sel_lens
+        starts = _walk_records(L, sel_off, ms, sel_ends)
+        if starts is None:
+            raise ValueError("corrupt Gorilla timestamp stream")
         rl = L[starts]
         dod = np.zeros(len(starts), dtype=np.int64)
         for length, prelen, pay, offv in ((9, 2, 7, 63), (12, 3, 9, 255), (16, 4, 12, 2047)):
@@ -492,13 +514,18 @@ def decode_chunks(blobs: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         sel_off = 8 * np.concatenate([[0], np.cumsum(vp_lens)[:-1]])
         ms = (n_arr[sel_idx] - 1).astype(np.int64)
         L = _val_record_lengths(bits)
-        starts = _walk_records(L, sel_off, ms)
-        changed = np.zeros(len(starts), dtype=bool)
-        if len(starts):
+        starts = _walk_records(L, sel_off, ms, sel_off + 8 * vp_lens)
+        reuse_seen = starts is None
+        if not reuse_seen and len(starts):
             changed = bits[starts] == 1
-        s_ch = starts[changed]
-        if len(s_ch) and not bits[s_ch + 1].all():
-            # legacy '10' window-reuse class → per-chunk fallback
+            s_ch = starts[changed]
+            reuse_seen = len(s_ch) > 0 and not bits[s_ch + 1].all()
+        else:
+            changed = np.zeros(0 if starts is None else len(starts), dtype=bool)
+            s_ch = np.zeros(0, dtype=np.int64)
+        if reuse_seen:
+            # legacy '10' window-reuse class (or a desynced walk) →
+            # per-chunk fallback, which detects the class record-exactly
             lens_l, ts_l, vs_l = [], [], []
             for blob in blobs:
                 t, v = decode_chunk(bytes(blob))

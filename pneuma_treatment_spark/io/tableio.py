@@ -77,9 +77,11 @@ class TableIO:
             # the driver, which measured 2.8x slower than a static write
             # (16.1 s vs 5.8 s for the 150-day x 8-bucket ingest table). A
             # fresh write has nothing to preserve, so it takes the fast
-            # static path — identical output, idempotence unaffected.
+            # static path — identical output, idempotence unaffected. The
+            # mode rides the WRITER (overrides the session conf per write),
+            # so concurrent TableIO writes in one session cannot race on a
+            # session-global setting, and nothing leaks to other writes.
             mode = "dynamic" if self._exists(table) else "static"
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
             # Cluster rows by their target partition before the write: without
             # this every task appends a file to every partition dir —
             # tasks x dirs tiny files, which then dominates downstream scan
@@ -88,6 +90,7 @@ class TableIO:
             (
                 w.repartition(*cols)
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", mode)
                 .partitionBy(*cols)
                 .parquet(self.path(table))
             )

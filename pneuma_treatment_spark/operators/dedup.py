@@ -231,7 +231,7 @@ def simhash(
     text_col: str = "text",
     bits: int = 64,
     token_hash=None,
-    hash_distinct: bool | None = None,
+    hash_distinct: bool = False,
 ) -> DataFrame:
     """SimHash per document: sign-sum of token hash bits (64-bit xxhash64 by
     default; pass ``token_hash=md5_token_hash, bits=60`` for the
@@ -259,8 +259,6 @@ def simhash(
     tests/test_dedup_similarity.py::test_simhash_hash_distinct_identical.
     """
     th = token_hash or (lambda c: F.xxhash64(c))
-    if hash_distinct is None:
-        hash_distinct = False
     # compact single-split inputs would run the whole explode+aggregate map
     # stage on one task (session.fan_out is a no-op at real split counts)
     toks = fan_out(docs).where(

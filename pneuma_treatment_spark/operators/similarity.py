@@ -118,6 +118,22 @@ def lsh_topk(
     return cosine_topk(cand, list(map(float, q)), k, id_col, vec_col, fan=False)
 
 
+def _pair_join(banded: DataFrame) -> DataFrame:
+    """Candidate pairs from (id, band, bucket) rows: same full bucket in ANY
+    band, ids ordered, deduped — shared by both bucket paths."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def band_candidates(
     emb: DataFrame,
     planes: list[list[float]],
@@ -153,17 +169,7 @@ def band_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return _pair_join(banded)
 
 
 def band_buckets_arrow(
@@ -275,17 +281,8 @@ def cosine_band_pairs(
     planes = random_hyperplanes(dim, n_bands * band_planes, seed)
     d = as_double(F.col(vec_col))
     if bucket_method == "arrow":
-        banded = band_buckets_arrow(emb, planes, n_bands, band_planes, id_col, vec_col)
-        a, b = banded.alias("a"), banded.alias("b")
-        ids = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+        ids = _pair_join(
+            band_buckets_arrow(emb, planes, n_bands, band_planes, id_col, vec_col)
         )
     else:
         ids = band_candidates(emb, planes, n_bands, band_planes, id_col, vec_col)

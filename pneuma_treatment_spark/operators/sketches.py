@@ -53,8 +53,10 @@ def approx_distinct(
 
 def quantile_bins(value: Column, splits: list[float]) -> Column:
     """Static binning by precomputed split points (the two-pass pattern:
-    sketch the splits once, then bin the stream with a pure expression)."""
+    sketch the splits once, then bin the stream with a pure expression).
+    NULL values stay NULL — a masked cell must never read as a top-bin
+    observation (nulls are load-bearing engine-wide)."""
     expr = F.lit(len(splits))
     for i in range(len(splits) - 1, -1, -1):
         expr = F.when(value <= F.lit(float(splits[i])), F.lit(i)).otherwise(expr)
-    return expr
+    return F.when(value.isNotNull(), expr)

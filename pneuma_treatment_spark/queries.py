@@ -2260,6 +2260,22 @@ def salted_agg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SINK_SEQ = iter(range(1, 1 << 30))
+_LAST_SINK: dict[str, str] = {}
+
+
+def _fresh_sink(spark: SparkSession, key: str) -> str:
+    """Unique memory-sink table per run, dropping the PREVIOUS run's table
+    for the same query so repeated invocations hold at most one result copy
+    in driver memory."""
+    prev = _LAST_SINK.get(key)
+    if prev is not None:
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:
+            pass
+    name = f"{key}_sink_{next(_SINK_SEQ)}"
+    _LAST_SINK[key] = name
+    return name
 
 
 @query(
@@ -2311,7 +2327,7 @@ def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("value_cents")],
         watermark="10 minutes",
     )
-    name = f"rollup_stream_sink_{next(_SINK_SEQ)}"
+    name = _fresh_sink(spark, "rollup_stream")
     run_to_memory_sink(out, name=name)
     return spark.table(name).select("event_type", "bucket_ts", "n_events", "value_cents")
 
@@ -2319,9 +2335,10 @@ def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_stream",
     r"""
-    SELECT doc_id,
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
     FROM documents WHERE text IS NOT NULL
+    GROUP BY 2
     """,
 )
 def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2332,7 +2349,8 @@ def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     by file mtime, ties arbitrary), then run the real
     dropDuplicatesWithinWatermark path. Every duplicate arrives inside the
     30-minute horizon, so keep-FIRST must retain exactly the original rows
-    — the oracle is the plain documents table with the content hash. The
+    — the oracle is one (min doc_id, hash) row per distinct normalized
+    content. The
     fixture collects the bounded documents dim to stage it (500–5000 rows;
     the streamed path itself stays distributed)."""
     import os
@@ -2346,9 +2364,21 @@ def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pneuma_treatment_spark.streaming.dedup_stream import dedup_stream
     from pneuma_treatment_spark.streaming.rollup_stream import run_to_memory_sink
 
+    from pyspark.sql import Window as _W
+
+    from pneuma_treatment_spark.operators.dedup import normalize_text
+
+    # Keep ONE original per normalized-content hash (min doc_id): the table
+    # may already contain duplicate texts (sf0.1 does), and which
+    # same-batch duplicate dropDuplicatesWithinWatermark keeps is
+    # partition-order-dependent — pre-deduplicating the originals makes the
+    # fixture deterministic at any scale, and the oracle groups by hash.
+    d0 = _load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    h = F.md5(normalize_text(F.col("text")).cast("binary"))
+    rn = F.row_number().over(_W.partitionBy(h).orderBy("doc_id"))
     docs = (
-        _load(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
+        d0.withColumn("__rn", rn)
+        .where(F.col("__rn") == 1)
         .select("doc_id", "text")
         .toPandas()
     )
@@ -2368,7 +2398,7 @@ def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(d)
     )
     out = dedup_stream(stream, text_col="text", ts_col="ts", watermark="30 minutes")
-    name = f"dedup_stream_sink_{next(_SINK_SEQ)}"
+    name = _fresh_sink(spark, "dedup_stream")
     try:
         run_to_memory_sink(out, name=name)
     finally:

@@ -194,3 +194,40 @@ def test_encode_chunks_batch_byte_identical():
     assert encode_chunks(np.zeros(0), np.zeros(0), np.zeros(0, dtype=np.int64)) == []
     l0, t0, v0 = decode_chunks([])
     assert len(l0) == 0 and len(t0) == 0 and len(v0) == 0
+
+
+def test_decode_falls_back_on_paper_reuse_class():
+    """A foreign chunk using the paper's '10' previous-window-reuse value
+    class (our encoder never emits it) must decode correctly via the
+    sequential fallback in BOTH the single and the batched path — the
+    vectorized walk desyncs on it and must detect that, not crash."""
+    import struct
+
+    import numpy as np
+
+    from pneuma_treatment_spark.compression import gorilla as g
+
+    vals = np.array([1.5, 2.5, 3.5, 3.5])
+    bits_v = vals.view(np.uint64)
+    x1 = int(bits_v[1] ^ bits_v[0])
+    x2 = int(bits_v[2] ^ bits_v[1])
+    stream = (
+        "11" + format(0, "06b") + format(63, "06b") + format(x1, "064b")
+        + "10" + format(x2, "064b")
+        + "0"
+    )
+    stream += "0" * ((-len(stream)) % 8)
+    vp = bytes(int(stream[i:i + 8], 2) for i in range(0, len(stream), 8))
+    ts = np.array([0, 60, 120, 180], dtype=np.int64)
+    th, tp = g._encode_ts(ts)
+    blob = b"".join(
+        [
+            b"GOR1", th, struct.pack("<I", len(tp)), tp,
+            struct.pack("<Q", int(bits_v[0])), struct.pack("<I", len(vp)), vp,
+        ]
+    )
+    t2, v2 = g.decode_chunk(blob)
+    assert np.array_equal(t2, ts) and np.array_equal(v2, vals)
+    lens, t3, v3 = g.decode_chunks([blob, g.encode_chunk(ts, vals)])
+    assert list(lens) == [4, 4]
+    assert np.array_equal(t3[:4], ts) and np.array_equal(v3[:4], vals)
