@@ -158,6 +158,8 @@ def _record_starts(
             return None
         starts[i] = p
         p += ln[p]
+    if p > lim:  # final record claims bits past the payload end
+        return None
     return starts
 
 
@@ -173,16 +175,7 @@ def _decode_ts(head: bytes, payload: bytes) -> np.ndarray:
         return out
     bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
     m = n - 2
-    # position-local record length: '0'→1, '10'→2+7, '110'→3+9, '1110'→4+12,
-    # '1111'→4+64 (vectorized over every bit offset, padded so the lookahead
-    # never walks off the end)
-    bp = np.concatenate([bits, np.zeros(4, dtype=np.uint8)])
-    B = len(bits)
-    L = np.select(
-        [bp[:B] == 0, bp[1:B + 1] == 0, bp[2:B + 2] == 0, bp[3:B + 3] == 0],
-        [1, 9, 12, 16],
-        default=68,
-    ).astype(np.int64)
+    L = _ts_record_lengths(bits)
     starts = _record_starts(L, m)
     if starts is None:
         raise ValueError("corrupt Gorilla timestamp stream")
@@ -244,6 +237,22 @@ def _encode_vals(vals: np.ndarray) -> tuple[bytes, bytes]:
     return head, _pack_codes(out_codes, out_lens)
 
 
+def _extract_xors(bits: np.ndarray, s_ch: np.ndarray) -> np.ndarray:
+    """Vectorized variable-width XOR payload extraction for '11'-class value
+    records starting at ``s_ch``: xor_r = Σ_{j<mlen} bit[p+14+j] <<
+    (63 - lead_r - j) — the shift depends only on (lead, j), so one masked
+    (m, 64) gather covers all widths at once. Shared by the single-chunk and
+    batched decoders (one kernel, one place)."""
+    lead = _gather_fields(bits, s_ch + 2, 6).astype(np.int64)
+    mlen = _gather_fields(bits, s_ch + 8, 6).astype(np.int64) + 1
+    j = np.arange(64, dtype=np.int64)
+    mask = j[None, :] < mlen[:, None]
+    idx = np.where(mask, s_ch[:, None] + 14 + j[None, :], 0)
+    g = bits[idx].astype(np.uint64) * mask
+    shift = np.where(mask, 63 - lead[:, None] - j[None, :], 0).astype(np.uint64)
+    return (g << shift).sum(axis=1, dtype=np.uint64)
+
+
 def _decode_vals_slow(n: int, b0: int, payload: bytes) -> np.ndarray:
     """Sequential bit-reader decode — kept ONLY for foreign chunks using the
     paper's '10' previous-window-reuse class, which our encoder never emits
@@ -253,6 +262,13 @@ def _decode_vals_slow(n: int, b0: int, payload: bytes) -> np.ndarray:
     out[0] = b0
     r = _BitReader(payload)
     cur_lead, cur_mlen = -1, -1
+    try:
+        return _decode_vals_slow_inner(n, out, r, cur_lead, cur_mlen)
+    except IndexError as e:  # reader ran off the payload
+        raise ValueError("corrupt Gorilla value stream") from e
+
+
+def _decode_vals_slow_inner(n, out, r, cur_lead, cur_mlen):
     for i in range(1, n):
         if r.read(1) == 0:
             out[i] = out[i - 1]
@@ -277,17 +293,7 @@ def _decode_vals(n: int, head: bytes, payload: bytes) -> np.ndarray:
         return np.array([b0], dtype=np.uint64).view(np.float64)
     bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
     m = n - 1
-    B = len(bits)
-    # record length at position p: '0'→1; '11'+6+6+mlen → 14+mlen with the
-    # 6-bit mlen-1 field at p+8 (position-local; see fallback for '10')
-    bp = np.concatenate([bits, np.zeros(14, dtype=np.uint8)])
-    # 6-bit mlen field at every offset via shifted SLICES (6 adds), not a
-    # (B, 6) fancy gather — the gather dominated decode at large chunks
-    mlen_at = np.zeros(B, dtype=np.int64)
-    for j in range(6):
-        mlen_at += bp[8 + j:8 + j + B].astype(np.int64) << (5 - j)
-    mlen_at += 1
-    L = np.where(bp[:B] == 0, 1, 14 + mlen_at)
+    L = _val_record_lengths(bits)
     starts = _record_starts(L, m)
     if starts is None:
         # a '10' reuse-class record desynced the position-local lengths
@@ -298,17 +304,7 @@ def _decode_vals(n: int, head: bytes, payload: bytes) -> np.ndarray:
         return _decode_vals_slow(n, b0, payload)  # '10' reuse class present
     xors = np.zeros(m, dtype=np.uint64)
     if len(s_ch):
-        lead = _gather_fields(bits, s_ch + 2, 6).astype(np.int64)
-        mlen = _gather_fields(bits, s_ch + 8, 6).astype(np.int64) + 1
-        # xor_r = Σ_{j<mlen} bit[p+14+j] << (63 - lead_r - j): the shift
-        # depends only on (lead, j), so one masked (m, 64) gather covers all
-        # variable-width payloads at once
-        j = np.arange(64, dtype=np.int64)
-        mask = j[None, :] < mlen[:, None]
-        idx = np.where(mask, s_ch[:, None] + 14 + j[None, :], 0)
-        g = bits[idx].astype(np.uint64) * mask
-        shift = np.where(mask, 63 - lead[:, None] - j[None, :], 0).astype(np.uint64)
-        xors[changed] = (g << shift).sum(axis=1, dtype=np.uint64)
+        xors[changed] = _extract_xors(bits, s_ch)
     out = np.empty(n, dtype=np.uint64)
     out[0] = b0
     out[1:] = xors
@@ -408,6 +404,8 @@ def _walk_records(
             starts[k] = p
             p += L[p]
             k += 1
+        if p > end:  # final record of the chunk overran its payload
+            return None
     return starts
 
 
@@ -537,14 +535,7 @@ def decode_chunks(blobs: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             )
         xors = np.zeros(len(starts), dtype=np.uint64)
         if len(s_ch):
-            lead = _gather_fields(bits, s_ch + 2, 6).astype(np.int64)
-            mlen = _gather_fields(bits, s_ch + 8, 6).astype(np.int64) + 1
-            j = np.arange(64, dtype=np.int64)
-            mask = j[None, :] < mlen[:, None]
-            idx = np.where(mask, s_ch[:, None] + 14 + j[None, :], 0)
-            g = bits[idx].astype(np.uint64) * mask
-            shift = np.where(mask, 63 - lead[:, None] - j[None, :], 0).astype(np.uint64)
-            xors[changed] = (g << shift).sum(axis=1, dtype=np.uint64)
+            xors[changed] = _extract_xors(bits, s_ch)
         # per-chunk XOR-accumulate in ONE global pass: accumulate with the
         # raw b0 at each chunk start, then cancel the cross-chunk prefix
         # (P_c = acc[start_c] ^ b0_c; XOR is its own inverse)

@@ -38,12 +38,19 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         # exact-integer payload digests: any engine replays them from the
         # bytes (DuckDB 1.0 has no blob sha — sha256 is VARCHAR-only — so the
-        # oracle-facing provenance columns are integer reductions instead)
+        # oracle-facing provenance columns are integer reductions instead).
+        # The digest fold is a FIXED 32-bin histogram (independent of the
+        # feature ``dim`` argument), and pos_sum reduces mod 2^61-1 so it
+        # stays exact-replayable for arbitrarily large payloads.
         T.StructField("hist_checksum", T.LongType(), False),  # Σ (d+1)·folded[d]
         T.StructField("norm_sq", T.LongType(), False),        # Σ folded[d]²
-        T.StructField("pos_sum", T.LongType(), False),        # Σ (i+1)·byte[i]
+        T.StructField("pos_sum", T.LongType(), False),        # Σ (i+1)·byte[i] mod M61
     ]
 )
+
+#: digest histogram bins (fixed — NOT the feature dim) and the pos_sum modulus
+DIGEST_BINS = 32
+POS_SUM_MOD = (1 << 61) - 1
 
 
 def _lcg_int(k: int, lo: int, hi: int) -> int:
@@ -120,11 +127,21 @@ def extract_features(
                 feats.append(decode(kind, b, dim))
                 bv = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
                 folded = np.bincount(bv, minlength=256).reshape(
-                    dim, 256 // dim
+                    DIGEST_BINS, 256 // DIGEST_BINS
                 ).sum(axis=1)
-                hcks.append(int(((np.arange(dim) + 1) * folded).sum()))
+                hcks.append(int(((np.arange(DIGEST_BINS) + 1) * folded).sum()))
                 nsqs.append(int((folded * folded).sum()))
-                psums.append(int(((np.arange(len(bv)) + 1) * bv).sum()))
+                # exact python-int accumulation in blocks (an int64 dot wraps
+                # silently past ~268 MB payloads), reduced mod M61. Split
+                # each block's Σ(i+1)·v into offset·Σv + Σ(local·v): the
+                # local dot stays < 2^58 for any block, the offset product
+                # is python-int exact.
+                ps = 0
+                for lo in range(0, len(bv), 1 << 20):
+                    blk = bv[lo:lo + (1 << 20)]
+                    local = np.arange(1, len(blk) + 1, dtype=np.int64)
+                    ps += lo * int(blk.sum()) + int(np.dot(local, blk))
+                psums.append(ps % POS_SUM_MOD)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -197,6 +197,9 @@ def band_buckets_arrow(
 
     def f(batches):
         for pdf in batches:
+            # drop null vectors, matching the HOF path (a null bucket never
+            # joins) instead of crashing the Arrow conversion
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])

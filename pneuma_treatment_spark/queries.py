@@ -1996,7 +1996,9 @@ def multimodal_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hist GROUP BY 1
     ),
     psum AS (
-      SELECT media_id, CAST(sum((i + 1) * v) AS BIGINT) AS pos_sum FROM bv GROUP BY 1
+      SELECT media_id,
+             CAST(sum((i + 1) * v) % 2305843009213693951 AS BIGINT) AS pos_sum
+      FROM bv GROUP BY 1
     )
     SELECT p.media_id, p.kind, CAST(y.len AS INT) AS n_bytes,
            32 AS feature_dim, d.hist_checksum, d.norm_sq, s.pos_sum
@@ -2311,6 +2313,8 @@ def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_tumbling_rollup,
     )
 
+    # same UTC pin as _load (the driver may hand a non-UTC session and this
+    # query bypasses _load for its readStream source)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (

@@ -77,7 +77,16 @@ def fan_out(df, min_partitions: int | None = None):
     fingerprints) runs serial without this. The guard makes it a no-op on
     real cluster-scale inputs (thousands of splits already) — the exchange
     is only added exactly when it is cheap (input smaller than one split).
+
+    The partition probe (``df.rdd``) forces full physical planning of the
+    accumulated plan on the driver (~3 s measured on a deep ANN tree), so
+    it only runs when the ANALYZED plan is shallow — a scan plus a few
+    projections/filters, the single-split case this helper exists for.
+    Deep plans are post-shuffle and already wide; they pass through
+    untouched.
     """
+    if df._jdf.queryExecution().analyzed().toString().count("\n") > 8:
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -264,3 +264,20 @@ def test_band_pairs_arrow_equals_hof(emb):
         ).collect()
     }
     assert arrow == hof and len(arrow) > 0
+
+
+def test_band_pairs_arrow_drops_null_embeddings(spark, emb):
+    """A null vector must be silently excluded by BOTH bucket paths (the
+    HOF path's null bucket never joins; the Arrow path must not crash the
+    task on the None conversion)."""
+    from pyspark.sql import functions as F
+
+    withnull = emb.unionByName(
+        spark.createDataFrame([(99999, None)], "vec_id long, embedding array<float>")
+    )
+    for method in ("hof", "arrow"):
+        pairs = similarity.cosine_band_pairs(
+            withnull, threshold=0.95, bucket_method=method
+        ).collect()
+        assert all(r["id_a"] != 99999 and r["id_b"] != 99999 for r in pairs)
+        assert len(pairs) > 0

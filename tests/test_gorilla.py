@@ -231,3 +231,37 @@ def test_decode_falls_back_on_paper_reuse_class():
     lens, t3, v3 = g.decode_chunks([blob, g.encode_chunk(ts, vals)])
     assert list(lens) == [4, 4]
     assert np.array_equal(t3[:4], ts) and np.array_equal(v3[:4], vals)
+
+
+def test_corrupt_chunks_raise_value_error():
+    """Truncated payloads must surface as ValueError (module contract), not
+    a numpy IndexError from deep inside the vectorized decode — including
+    when the FINAL record claims bits past the payload end."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pneuma_treatment_spark.compression import gorilla as g
+
+    # ts stream: n=3 but payload opens with '1111' (claims 68 bits) in 2 bytes
+    th = struct.pack("<Iqq", 3, 0, 60)
+    tp = bytes([0b11110000, 0])
+    blob = b"".join(
+        [b"GOR1", th, struct.pack("<I", len(tp)), tp,
+         struct.pack("<Q", 0), struct.pack("<I", 0)]
+    )
+    with pytest.raises(ValueError):
+        g.decode_chunk(blob)
+    with pytest.raises(ValueError):
+        g.decode_chunks([blob])
+    # value stream: record claims mlen=64 inside a 2-byte payload
+    ts = np.array([0, 60], dtype=np.int64)
+    th2, tp2 = g._encode_ts(ts)
+    vp = bytes([0b11000000 | 0b00111111, 0b11000000])  # '11' lead=0 mlen-1=63...
+    blob2 = b"".join(
+        [b"GOR1", th2, struct.pack("<I", len(tp2)), tp2,
+         struct.pack("<Q", 0), struct.pack("<I", len(vp)), vp]
+    )
+    with pytest.raises(ValueError):
+        g.decode_chunk(blob2)
