@@ -3,9 +3,10 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with a noop sink (full compute, no driver
-collect). ``python bench.py --scaling`` additionally runs the transcript
-pipeline at two parallelism levels and reports scaling efficiency (the
-BASELINE.md N→4N protocol); see BENCH/run_scaling.py for the committed runs.
+collect). Scaling evidence lives in its own harnesses:
+``python BENCH/run_scaling.py`` (pinned local[8] vs local[32]) and
+``python BENCH/run_scaling_executors.py`` (1 vs 4 separate 8-core JVMs) —
+the BASELINE.md N→4N protocol; committed runs in BENCH/.
 """
 
 from __future__ import annotations
