@@ -90,12 +90,13 @@ def with_lsh_bucket(
     only scans the query's bucket (plus optional neighboring buckets)."""
     emb = fan_out(emb)
     d = as_double(F.col(vec_col))
+    dim = len(planes[0])
+    joined = emb.crossJoin(_planes_bcast(emb.sparkSession, planes))
     bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        pcol = F.array(*[F.lit(float(x)) for x in p])
-        bit = (_dot(d, pcol) > 0).cast("long")
+    for i in range(len(planes)):
+        bit = (_dot(d, _plane_slice(i, dim)) > 0).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
-    return emb.withColumn("lsh_bucket", bucket)
+    return joined.withColumn("lsh_bucket", bucket).drop("__planes")
 
 
 def lsh_topk(
@@ -134,6 +135,31 @@ def _pair_join(banded: DataFrame) -> DataFrame:
     )
 
 
+def _planes_bcast(spark, planes: list[list[float]]):
+    """The plane matrix as ONE broadcast column instead of n·d literal
+    nodes: the flat matrix rides a single string literal, parsed to
+    array<double> once on a 1-row side and broadcast-joined to every
+    vector. Catalyst analysis is per-NODE, so literal-array plane
+    expressions cost seconds of driver time at 16 planes × 64 dims and
+    double again through self-join aliasing; the parsed form is a handful
+    of nodes. Bit-exactness holds because python repr round-trips through
+    Java Double.parseDouble (verified by the unchanged oracle hashes), and
+    the per-plane fold order is untouched (slice of the flat array feeds
+    the same zip_with/aggregate sequence)."""
+    flat = ",".join(repr(float(x)) for p in planes for x in p)
+    return F.broadcast(
+        spark.range(1).select(
+            F.transform(F.split(F.lit(flat), ","), lambda x: x.cast("double")).alias(
+                "__planes"
+            )
+        )
+    )
+
+
+def _plane_slice(i: int, dim: int):
+    return F.slice(F.col("__planes"), i * dim + 1, dim)
+
+
 def band_candidates(
     emb: DataFrame,
     planes: list[list[float]],
@@ -149,12 +175,13 @@ def band_candidates(
     longs per row; exported as its own seam so tests can assert candidate
     growth directly."""
     d = as_double(F.col(vec_col))
+    dim = len(planes[0])
+    emb = emb.crossJoin(_planes_bcast(emb.sparkSession, planes))
 
     def band_bucket(b: int) -> Column:
         bucket = F.lit(0).cast("long")
         for i in range(band_planes):
-            p = planes[b * band_planes + i]
-            pcol = F.array(*[F.lit(float(x)) for x in p])
+            pcol = _plane_slice(b * band_planes + i, dim)
             bucket = bucket + F.shiftleft((_dot(d, pcol) > 0).cast("long"), i)
         return bucket
 
@@ -389,9 +416,21 @@ def with_ivf_cell(
     d = as_double(F.col(vec_col))
     q = F.transform(d, lambda x: F.floor(x * IVF_Q + 0.5))
     cq = _quantize(np.asarray(centroids, dtype=np.float64))
+    dim = cq.shape[1]
+    # quantized centroids as ONE broadcast string literal (k·dim integer
+    # literal nodes cost measurable Catalyst analysis — see _planes_bcast)
+    flat = ",".join(str(int(x)) for ci in cq for x in ci)
+    cent_df = F.broadcast(
+        emb.sparkSession.range(1).select(
+            F.transform(F.split(F.lit(flat), ","), lambda x: x.cast("long")).alias(
+                "__cents"
+            )
+        )
+    )
+    emb = emb.crossJoin(cent_df)
 
-    def dist2(ci):
-        ccol = F.array(*[F.lit(int(x)) for x in ci])
+    def dist2(i):
+        ccol = F.slice(F.col("__cents"), i * dim + 1, dim)
         diff = F.zip_with(q, ccol, lambda a, b: a - b)
         return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
 
@@ -402,13 +441,13 @@ def with_ivf_cell(
     # k=8/dim=64 (execution itself was 2 s). Same physical work, linear
     # plan size.
     dcols = [f"__ivfd{i}" for i in range(len(cq))]
-    proj = emb.select("*", *[dist2(c).alias(n) for c, n in zip(cq, dcols)])
+    proj = emb.select("*", *[dist2(i).alias(n) for i, n in enumerate(dcols)])
     refs = [F.col(n) for n in dcols]
     best = F.least(*refs) if len(refs) > 1 else refs[0]
     cell = F.lit(0)
     for i in range(len(refs) - 1, -1, -1):
         cell = F.when(refs[i] == best, F.lit(i)).otherwise(cell)
-    return proj.withColumn("ivf_cell", cell).drop(*dcols)
+    return proj.withColumn("ivf_cell", cell).drop(*dcols).drop("__cents")
 
 
 def ivf_topk(
