@@ -3,7 +3,16 @@ LSH-bucketed approximate variant (the scale path).
 
 Embeddings are ``array<float>`` columns; all math runs as JVM higher-order
 functions (``zip_with`` / ``aggregate``) — no Python, no collect except the
-k-row result.
+k-row result — or, on the scale paths, as Arrow-batched numpy matmuls.
+
+IVF codebook lifecycle (operational policy for a growing 100 TB table): the
+codebook is versioned metadata, trained once from a bounded sample, NOT
+per-query state. Retrain offline only when cell-occupancy skew degrades
+(max/median cell size > ~8x) or nprobe recall drops on a held-out query set;
+write new partitions with the new version first and backfill old partitions
+lazily — queries pin the codebook version their partition was written with,
+so a retrain is never a stop-the-world rebuild. Details on
+:func:`ivf_train_centroids`.
 """
 
 from __future__ import annotations
@@ -267,7 +276,7 @@ def cosine_band_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
     n_bands: int = 4,
-    band_planes: int | None = 4,
+    band_planes: int | None = None,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -285,12 +294,22 @@ def cosine_band_pairs(
     loop); ``"hof"`` keeps the pure column-expression form whose float fold
     order the SQL oracle replays bit-for-bit (the driver query pins it).
 
-    ``band_planes=None`` sizes the band width from the table via
-    :func:`auto_band_planes` (pass ``approx_n`` to skip the count job). The
-    explicit default of 4 is the fixed oracle-replayable geometry — per the
-    sizing rule it is right for ≤ ~1k vectors; larger tables should pass
-    ``None``. Recall per band falls as planes grow, so raise ``n_bands``
-    alongside when the match threshold is loose.
+    ``band_planes=None`` (the default) sizes the band width from the table
+    via :func:`auto_band_planes` (pass ``approx_n`` to skip the one count
+    job it otherwise runs) — a 100 TB caller taking the defaults gets
+    log2-scaled buckets, not a fixed 16-bucket geometry. Pass an explicit
+    int (e.g. 4) to pin a fixed, oracle-replayable geometry; the driver
+    query does exactly that. Recall per band falls as planes grow, so raise
+    ``n_bands`` alongside when the match threshold is loose.
+
+    .. note:: changed defaults (round 3→4), for library callers relying on
+       replayability: ``bucket_method`` default moved from ``"hof"`` to
+       ``"arrow"`` in round 3 (BLAS fold order — a projection within ~1e-13
+       of zero can land in a different bucket than the HOF/SQL fold), and
+       ``band_planes`` default moved from 4 to ``None`` (auto-sized) in
+       round 4. Callers that need bit-for-bit SQL-oracle-identical candidate
+       sets must pin BOTH ``bucket_method="hof"`` and an explicit
+       ``band_planes``.
 
     Cross-engine caveat (accepted risk, shared by all sign-LSH oracles):
     bucket bits are sign tests of float dot products whose summation ORDER

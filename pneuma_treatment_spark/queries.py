@@ -2343,6 +2343,7 @@ def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
     FROM documents WHERE text IS NOT NULL
     GROUP BY 2
+    ORDER BY 1 LIMIT 10000
     """,
 )
 def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2354,9 +2355,9 @@ def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark path. Every duplicate arrives inside the
     30-minute horizon, so keep-FIRST must retain exactly the original rows
     — the oracle is one (min doc_id, hash) row per distinct normalized
-    content. The
-    fixture collects the bounded documents dim to stage it (500–5000 rows;
-    the streamed path itself stays distributed)."""
+    content, capped (both sides) at the 10k lowest representatives so the
+    fixture's staging collect is O(1) at any sf (the streamed path itself
+    stays distributed)."""
     import os
     import tempfile
     import time
@@ -2380,10 +2381,16 @@ def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = _load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     h = F.md5(normalize_text(F.col("text")).cast("binary"))
     rn = F.row_number().over(_W.partitionBy(h).orderBy("doc_id"))
+    # O(1) driver bound at any sf: the staged fixture only needs SOME
+    # deterministic distinct-content subset, so cap the collect at the
+    # 10k lowest doc_ids (deterministic — min doc_id per hash, then
+    # ordered); the oracle below applies the identical cap.
     docs = (
         d0.withColumn("__rn", rn)
         .where(F.col("__rn") == 1)
         .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(10000)
         .toPandas()
     )
     base = docs.assign(ts=pd.Timestamp("2024-01-01 00:00:00"))

@@ -246,6 +246,23 @@ def test_band_candidates_subquadratic(spark):
     fixed_big = similarity.band_candidates(make(big), planes_fixed, 2, p_small).count()
     assert counts[big] < fixed_big, (counts, fixed_big)
 
+    # the DEFAULT path (band_planes=None) must route through the same auto
+    # sizing: identical verified pairs as pinning auto_band_planes(n)
+    df = make(small)
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_band_pairs(
+            df, threshold=0.0, n_bands=2, target_bucket_rows=8, approx_n=small
+        ).collect()
+    }
+    pinned = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_band_pairs(
+            df, threshold=0.0, n_bands=2, band_planes=p_small
+        ).collect()
+    }
+    assert auto == pinned and len(auto) > 0
+
 
 def test_band_pairs_arrow_equals_hof(emb):
     """The Arrow-matmul bucket path must produce the same verified pairs as
