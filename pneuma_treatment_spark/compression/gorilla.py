@@ -387,26 +387,34 @@ def _val_record_lengths(bits: np.ndarray) -> np.ndarray:
 
 def _walk_records(
     L: np.ndarray, offsets: np.ndarray, counts: np.ndarray, ends: np.ndarray
-) -> np.ndarray | None:
+) -> tuple[np.ndarray, np.ndarray]:
     """Concatenated record-boundary walk: one scalar index per record, with
     the cursor reset to each chunk's bit offset. The ONLY per-record Python
-    in the batched decode. Returns None if any chunk's walk crosses its
-    payload end — a foreign '10'-class record desyncs the position-local
-    lengths, and the caller must fall back to per-chunk decode (which makes
-    the same detection record-exactly)."""
-    starts = np.empty(int(counts.sum()), dtype=np.int64)
+    in the batched decode. Returns ``(starts, ok)``: ``ok[c]`` is False when
+    chunk c's walk crossed its payload end — a foreign '10'-class record
+    desyncs the position-local lengths — and that chunk's ``starts`` entries
+    are zero-filled placeholders the caller must not trust. The caller
+    slow-decodes exactly the not-ok chunks; good chunks keep their
+    vectorized results (one foreign chunk must not cost O(batch))."""
+    starts = np.zeros(int(counts.sum()), dtype=np.int64)
+    ok = np.ones(len(counts), dtype=bool)
     k = 0
-    for off, m, end in zip(offsets.tolist(), counts.tolist(), ends.tolist()):
+    for c, (off, m, end) in enumerate(
+        zip(offsets.tolist(), counts.tolist(), ends.tolist())
+    ):
         p = off
-        for _ in range(int(m)):
+        m = int(m)
+        for j in range(m):
             if p >= end:
-                return None
-            starts[k] = p
+                ok[c] = False
+                break
+            starts[k + j] = p
             p += L[p]
-            k += 1
-        if p > end:  # final record of the chunk overran its payload
-            return None
-    return starts
+        else:
+            if p > end:  # final record of the chunk overran its payload
+                ok[c] = False
+        k += m
+    return starts, ok
 
 
 def _segmented_cumsum(x: np.ndarray, seg_starts: np.ndarray, seg_counts: np.ndarray) -> np.ndarray:
@@ -478,8 +486,9 @@ def decode_chunks(blobs: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         ms = (n_arr[sel_idx] - 2).astype(np.int64)
         L = _ts_record_lengths(bits)
         sel_ends = sel_off + 8 * sel_lens
-        starts = _walk_records(L, sel_off, ms, sel_ends)
-        if starts is None:
+        starts, walk_ok = _walk_records(L, sel_off, ms, sel_ends)
+        if not walk_ok.all():
+            # the ts stream has no reuse class, so a desync is corruption
             raise ValueError("corrupt Gorilla timestamp stream")
         rl = L[starts]
         dod = np.zeros(len(starts), dtype=np.int64)
@@ -512,45 +521,59 @@ def decode_chunks(blobs: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         sel_off = 8 * np.concatenate([[0], np.cumsum(vp_lens)[:-1]])
         ms = (n_arr[sel_idx] - 1).astype(np.int64)
         L = _val_record_lengths(bits)
-        starts = _walk_records(L, sel_off, ms, sel_off + 8 * vp_lens)
-        reuse_seen = starts is None
-        if not reuse_seen and len(starts):
-            changed = bits[starts] == 1
+        starts, good = _walk_records(L, sel_off, ms, sel_off + 8 * vp_lens)
+        # a '10' reuse-class record ANYWHERE in a chunk invalidates that
+        # chunk's walk (its length is not position-local); map the per-record
+        # detection back to its chunk so ONLY that chunk takes the slow path
+        rec_chunk = np.repeat(np.arange(len(sel_idx)), ms)
+        changed = np.zeros(len(starts), dtype=bool)
+        if len(starts) and len(bits):
+            trusted = good[rec_chunk]
+            changed = (bits[np.where(trusted, starts, 0)] == 1) & trusted
             s_ch = starts[changed]
-            reuse_seen = len(s_ch) > 0 and not bits[s_ch + 1].all()
-        else:
-            changed = np.zeros(0 if starts is None else len(starts), dtype=bool)
-            s_ch = np.zeros(0, dtype=np.int64)
-        if reuse_seen:
-            # legacy '10' window-reuse class (or a desynced walk) →
-            # per-chunk fallback, which detects the class record-exactly
-            lens_l, ts_l, vs_l = [], [], []
-            for blob in blobs:
-                t, v = decode_chunk(bytes(blob))
-                lens_l.append(len(t)); ts_l.append(t); vs_l.append(v)
-            return (
-                np.asarray(lens_l, dtype=np.int64),
-                np.concatenate(ts_l) if ts_l else np.zeros(0, np.int64),
-                np.concatenate(vs_l) if vs_l else np.zeros(0, np.float64),
-            )
+            if len(s_ch):
+                reuse = np.zeros(len(starts), dtype=bool)
+                # a trusted changed record has >= 15 bits, so s_ch+1 is in range
+                reuse[changed] = bits[s_ch + 1] == 0
+                good[np.unique(rec_chunk[reuse])] = False
+        gm = good[rec_chunk]
+        changed &= gm
         xors = np.zeros(len(starts), dtype=np.uint64)
-        if len(s_ch):
-            xors[changed] = _extract_xors(bits, s_ch)
-        # per-chunk XOR-accumulate in ONE global pass: accumulate with the
-        # raw b0 at each chunk start, then cancel the cross-chunk prefix
-        # (P_c = acc[start_c] ^ b0_c; XOR is its own inverse)
-        arr = np.empty(int((ms + 1).sum()), dtype=np.uint64)
-        astarts = np.concatenate([[0], np.cumsum(ms + 1)[:-1]])
-        arr[astarts] = b0_arr[sel_idx]
-        inner = np.arange(len(arr))
-        fill = np.ones(len(arr), dtype=bool)
-        fill[astarts] = False
-        arr[fill] = xors
-        acc = np.bitwise_xor.accumulate(arr)
-        prefix = acc[astarts] ^ b0_arr[sel_idx]
-        true_vals = acc ^ np.repeat(prefix, ms + 1)
-        oidx = np.repeat(out_starts[sel_idx], ms + 1) + (inner - np.repeat(astarts, ms + 1))
-        vals_out[oidx] = true_vals
+        if changed.any():
+            xors[changed] = _extract_xors(bits, starts[changed])
+        g_idx = np.flatnonzero(good)
+        if len(g_idx):
+            # per-chunk XOR-accumulate in ONE global pass over the GOOD
+            # chunks: accumulate with the raw b0 at each chunk start, then
+            # cancel the cross-chunk prefix (P_c = acc[start_c] ^ b0_c; XOR
+            # is its own inverse)
+            ms_g = ms[g_idx]
+            b0_g = b0_arr[sel_idx[g_idx]]
+            arr = np.empty(int((ms_g + 1).sum()), dtype=np.uint64)
+            astarts = np.concatenate([[0], np.cumsum(ms_g + 1)[:-1]])
+            arr[astarts] = b0_g
+            inner = np.arange(len(arr))
+            fill = np.ones(len(arr), dtype=bool)
+            fill[astarts] = False
+            arr[fill] = xors[gm]
+            acc = np.bitwise_xor.accumulate(arr)
+            prefix = acc[astarts] ^ b0_g
+            true_vals = acc ^ np.repeat(prefix, ms_g + 1)
+            oidx = np.repeat(out_starts[sel_idx[g_idx]], ms_g + 1) + (
+                inner - np.repeat(astarts, ms_g + 1)
+            )
+            vals_out[oidx] = true_vals
+        for c in np.flatnonzero(~good):
+            # legacy '10' window-reuse chunks (or a desynced walk): sequential
+            # decode of EXACTLY these chunks — O(1 chunk), not O(batch); the
+            # single-chunk path re-detects the class record-exactly and
+            # raises ValueError on genuine corruption
+            i = int(sel_idx[c])
+            o = int(out_starts[i])
+            n_i = int(n_arr[i])
+            vals_out[o:o + n_i] = _decode_vals(
+                n_i, struct.pack("<Q", int(b0_arr[i])), bytes(vps[i])
+            ).view(np.uint64)
 
     return n_arr, ts_out, vals_out.view(np.float64)
 

@@ -9,6 +9,7 @@ across driver timezones (and comparable to the DuckDB oracle).
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
@@ -67,7 +68,25 @@ def get_spark(
     return b.getOrCreate()
 
 
-def fan_out(df, min_partitions: int | None = None):
+def _count_plan_nodes(jplan, cap: int) -> int:
+    """Count logical-plan tree nodes via py4j child traversal, stopping at
+    ``cap`` (the caller only needs shallow-vs-deep, not an exact count)."""
+    n = 1
+    children = jplan.children()
+    for i in range(children.size()):
+        if n >= cap:
+            break
+        n += _count_plan_nodes(children.apply(i), cap - n)
+    return n
+
+
+#: analyzed plans with more nodes than this skip the fan_out probe: a bare
+#: scan plus a handful of projections/filters/subquery-aliases stays under
+#: it; anything post-join/post-shuffle is already wide
+_PROBE_MAX_PLAN_NODES = 8
+
+
+def fan_out(df, min_partitions: int | None = None, force_probe: bool = False):
     """Round-robin repartition a DataFrame UP to the session's parallelism —
     only when it has fewer partitions than that.
 
@@ -80,13 +99,24 @@ def fan_out(df, min_partitions: int | None = None):
 
     The partition probe (``df.rdd``) forces full physical planning of the
     accumulated plan on the driver (~3 s measured on a deep ANN tree), so
-    it only runs when the ANALYZED plan is shallow — a scan plus a few
-    projections/filters, the single-split case this helper exists for.
-    Deep plans are post-shuffle and already wide; they pass through
-    untouched.
+    it only runs when the ANALYZED logical plan is shallow (counted by tree
+    traversal, not plan rendering) — a scan plus a few projections/filters,
+    the single-split case this helper exists for. Deep plans are
+    post-shuffle and already wide; they pass through untouched, with a
+    debug log so a serial stage stays diagnosable. Callers that KNOW they
+    sit on a compact scan under a deep plan pass ``force_probe=True``.
     """
-    if df._jdf.queryExecution().analyzed().toString().count("\n") > 8:
-        return df
+    if not force_probe:
+        nodes = _count_plan_nodes(
+            df._jdf.queryExecution().analyzed(), _PROBE_MAX_PLAN_NODES + 1
+        )
+        if nodes > _PROBE_MAX_PLAN_NODES:
+            logging.getLogger(__name__).debug(
+                "fan_out: plan has >%d logical nodes — skipping the partition "
+                "probe (pass force_probe=True if this sits on a compact scan)",
+                _PROBE_MAX_PLAN_NODES,
+            )
+            return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -231,6 +231,33 @@ def test_decode_falls_back_on_paper_reuse_class():
     lens, t3, v3 = g.decode_chunks([blob, g.encode_chunk(ts, vals)])
     assert list(lens) == [4, 4]
     assert np.array_equal(t3[:4], ts) and np.array_equal(v3[:4], vals)
+    assert np.array_equal(t3[4:], ts) and np.array_equal(v3[4:], vals)
+
+    # the fallback must be per-CHUNK: one foreign chunk among many native
+    # ones slow-decodes alone; the rest keep their vectorized results
+    rng = np.random.default_rng(3)
+    native = [
+        g.encode_chunk(
+            np.arange(i + 2, dtype=np.int64) * 60 + i,
+            rng.normal(0, 1, i + 2),
+        )
+        for i in range(10)
+    ]
+    calls = []
+    orig = g._decode_vals
+    try:
+        g._decode_vals = lambda n, h, p: calls.append(n) or orig(n, h, p)
+        lens4, t4, v4 = g.decode_chunks(native[:5] + [blob] + native[5:])
+    finally:
+        g._decode_vals = orig
+    assert calls == [4]  # exactly the foreign chunk took the slow path
+    expected_t = np.concatenate(
+        [g.decode_chunk(b)[0] for b in native[:5] + [blob] + native[5:]]
+    )
+    expected_v = np.concatenate(
+        [g.decode_chunk(b)[1] for b in native[:5] + [blob] + native[5:]]
+    )
+    assert np.array_equal(t4, expected_t) and np.array_equal(v4, expected_v)
 
 
 def test_corrupt_chunks_raise_value_error():

@@ -177,3 +177,30 @@ def test_chunk_write_single_exchange(spark):
     base_exchanges = _plan(r).count("+- Exchange")
     plan = _plan(write_chunks(r, metrics=("n_events",), group_buckets=8))
     assert plan.count("+- Exchange") == base_exchanges + 1, plan
+
+
+def test_fan_out_probe_gating(spark):
+    """fan_out must (a) widen a compact single-split scan, (b) pass a deep
+    post-shuffle plan through UNTOUCHED without running the partition probe
+    (the probe forces physical planning — the node-count gate, not a
+    rendered-plan string, decides), and (c) probe anyway under force_probe."""
+    from pneuma_treatment_spark import session as sess
+
+    shallow = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert shallow.rdd.getNumPartitions() == 1  # one row group → one split
+    assert sess.fan_out(shallow).rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    deep = (
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .join(e.select("user_id", "event_type").distinct(), "user_id")
+        .where(F.col("n") > 0).select("user_id", "event_type", "n")
+    )
+    assert sess._count_plan_nodes(
+        deep._jdf.queryExecution().analyzed(), sess._PROBE_MAX_PLAN_NODES + 1
+    ) > sess._PROBE_MAX_PLAN_NODES
+    assert sess.fan_out(deep) is deep  # identical object: no probe, no exchange
+    # force_probe overrides the gate for callers that know their input is
+    # compact; the deep plan then probes and widens
+    assert sess.fan_out(deep, force_probe=True) is not deep
