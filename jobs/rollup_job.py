@@ -185,7 +185,7 @@ def run_pipeline(
                 "rows": r.rows,
                 "skipped": r.skipped,
                 "wall_sec": round(r.wall_sec, 3),
-                "n_partitions": len(r.partitions),
+                "n_partitions": r.n_partitions,
             }
             for n, r in runner.results.items()
         },

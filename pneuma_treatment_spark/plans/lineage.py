@@ -6,8 +6,10 @@ implicitly from one-CSV-per-stage (SURVEY.md §3 — each numbered script is a
 de-facto checkpoint); here it is explicit and content-addressed:
 
 * each stage writes its output table via TableIO (idempotent partition
-  overwrite) and a manifest JSON: input signature (config + upstream stage
-  signatures), row count, per-partition row counts, wall-clock, status;
+  overwrite), a per-partition row-count TABLE (written distributed — the
+  counts never materialize on the driver), and a manifest JSON: input
+  signature (config + upstream stage signatures), row count, partition
+  count, wall-clock, status;
 * on re-run, a stage whose signature matches a COMPLETE manifest is skipped
   and its table is read back — so a job killed after stage k resumes at
   stage k+1 and produces byte-identical output (tests/test_resume.py);
@@ -20,7 +22,7 @@ from __future__ import annotations
 import hashlib
 import json
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame
@@ -35,7 +37,7 @@ class StageResult:
     rows: int
     skipped: bool
     wall_sec: float
-    partitions: dict[str, int] = field(default_factory=dict)
+    n_partitions: int = 0
 
 
 class PipelineRunner:
@@ -65,6 +67,9 @@ class PipelineRunner:
     def _manifest_path(self, name: str) -> Path:
         return self.manifest_dir / f"{name}.json"
 
+    def _partitions_path(self, name: str) -> str:
+        return str(self.manifest_dir / f"{name}_partitions")
+
     # -- execution ----------------------------------------------------------
     def run_stage(
         self,
@@ -92,7 +97,7 @@ class PipelineRunner:
             m = json.loads(mpath.read_text())
             if m.get("status") == "COMPLETE" and m.get("signature") == sig:
                 self.results[name] = StageResult(
-                    name, sig, m["rows"], True, 0.0, m.get("partitions", {})
+                    name, sig, m["rows"], True, 0.0, m.get("n_partitions", 0)
                 )
                 return self.io.read(name)
 
@@ -111,10 +116,18 @@ class PipelineRunner:
         )
         rows = int(obs.get["rows"])
         out = self.io.read(name)
-        parts: dict[str, int] = {}
+        n_parts = 0
         if self.stats == "full" and partitioned and "p_day" in out.columns:
-            for r in out.groupBy("p_day").count().collect():
-                parts[str(r["p_day"])] = r["count"]
+            # Per-partition lineage counts are a TABLE, not driver state: at
+            # 10^12 turns x years of days a per-stage python dict of counts
+            # is a driver-side list per write. The counts DataFrame writes
+            # straight to parquet; only the O(1) partition COUNT crosses to
+            # the driver (for the summary), never the rows.
+            pc = out.groupBy("p_day").agg(F.count(F.lit(1)).alias("rows"))
+            pc.repartition(1).write.mode("overwrite").parquet(
+                self._partitions_path(name)
+            )
+            n_parts = self.io.spark.read.parquet(self._partitions_path(name)).count()
         wall = time.perf_counter() - t0
         mpath.write_text(
             json.dumps(
@@ -123,29 +136,43 @@ class PipelineRunner:
                     "stage": name,
                     "signature": sig,
                     "rows": rows,
-                    "partitions": parts,
+                    "n_partitions": n_parts,
                     "wall_sec": round(wall, 3),
                     "finished_at": time.time(),
                 },
                 indent=2,
             )
         )
-        self.results[name] = StageResult(name, sig, rows, False, wall, parts)
+        self.results[name] = StageResult(name, sig, rows, False, wall, n_parts)
         return out
 
     def total_rows(self, name: str) -> int:
         return self.results[name].rows
 
 
-def partition_counts(df: DataFrame) -> dict[str, int]:
-    return {
-        str(r["p_day"]): r["count"] for r in df.groupBy("p_day").count().collect()
-    }
+def partition_counts(df: DataFrame) -> DataFrame:
+    """(p_day, rows) lineage counts as a DataFrame — never a driver dict."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy("p_day").agg(F.count(F.lit(1)).alias("rows"))
 
 
 def verify_partition_lineage(io: TableIO, name: str) -> bool:
-    """Recount a stage's partitions and compare to its manifest (integrity
-    check used by tests and ops tooling)."""
+    """Recount a stage's partitions and compare to its recorded lineage
+    (integrity check used by tests and ops tooling). The comparison is a
+    distributed full-outer join — a partition missing from either side, or
+    disagreeing on its count, fails it; only O(1) scalars (mismatch count,
+    total) ever reach the driver."""
+    from pyspark.sql import functions as F
+
     m = json.loads((Path(io.root) / "_manifest" / f"{name}.json").read_text())
+    stored = io.spark.read.parquet(str(Path(io.root) / "_manifest" / f"{name}_partitions"))
     actual = partition_counts(io.read(name))
-    return actual == m.get("partitions") and sum(actual.values()) == m["rows"]
+    j = stored.withColumnRenamed("rows", "m_rows").join(actual, "p_day", "full_outer")
+    mismatches = j.where(
+        F.col("m_rows").isNull()
+        | F.col("rows").isNull()
+        | (F.col("m_rows") != F.col("rows"))
+    ).count()
+    total = stored.agg(F.sum("rows").alias("t")).first()["t"] or 0
+    return mismatches == 0 and int(total) == m["rows"]
