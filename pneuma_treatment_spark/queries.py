@@ -2286,28 +2286,50 @@ def _fresh_sink(spark: SparkSession, key: str) -> str:
     WITH wm AS (
       SELECT (epoch_us(max(ts)) // 1000) * 1000 - 600000000 AS wm_us FROM events
     ),
+    lm AS (
+      SELECT min(ts) + INTERVAL 1 HOUR AS late_mark FROM events
+    ),
     r AS (
       SELECT event_type,
              make_timestamp((({_EPOCH_SQL}//60)*60)*1000000) AS bucket_ts,
              count(*) AS n_events,
-             CAST(sum({_CENTS_SQL}) AS BIGINT) AS value_cents
+             CAST(sum({_CENTS_SQL}) AS BIGINT) AS value_cents,
+             CAST(count(*) FILTER (WHERE ts < (SELECT late_mark FROM lm))
+                  AS BIGINT) AS late_dropped
       FROM events GROUP BY 1, 2
     )
-    SELECT r.event_type, r.bucket_ts, r.n_events, r.value_cents
+    SELECT r.event_type, r.bucket_ts, r.n_events, r.value_cents, r.late_dropped
     FROM r, wm WHERE epoch_us(r.bucket_ts) + 60000000 <= wm.wm_us
     """,
 )
 def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming watermarked rollup under the hash gate (the sessionize
-    batch-twin pattern): run the real Structured Streaming path — file
-    source, event-time watermark, tumbling 1-minute window, append-mode
-    memory sink — over the bounded events table, and oracle the batch
-    rollup restricted to the closed-window region. Append mode emits a
-    bucket once the watermark (ms-floored max event time − 10 min) passes
-    its window end; the oracle applies exactly that cutoff, so stream ==
-    batch is what the hash proves. The `[t]` glob makes the single-file
-    path's basePath resolve to its directory (FileStreamSource requires a
-    directory basePath)."""
+    """Streaming watermarked rollup INCLUDING late-data drop semantics under
+    the hash gate. The events table is staged as three mtime-ordered parquet
+    files → three micro-batches (FileStreamSource orders by mtime):
+
+    1. on-time events below the midpoint timestamp,
+    2. the remaining on-time events (all >= midpoint, so nothing in this
+       batch sits below the watermark batch 1 established),
+    3. a LATE replay of every event from the table's first hour — by then
+       the watermark (ms-floored max on-time ts − 10 min) is ~a month past
+       them, so watermarking must drop every one.
+
+    Append mode emits a bucket once the watermark passes its window end; the
+    emitted counts must therefore be the ON-TIME-only batch rollup in the
+    closed-window region (the reference's completeness-trim analog,
+    ``src/09lane_node.py:303-318``, is the batch twin of exactly this cut).
+    ``late_dropped`` is derived FROM the stream output — staged rows per
+    bucket minus emitted ``n_events`` — so if the stream failed to drop a
+    late row, both ``n_events`` and ``late_dropped`` shift and the oracle
+    hash catches it. The oracle counts first-hour rows per closed bucket as
+    its ``late_dropped``."""
+    import datetime as _dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
     from pneuma_treatment_spark.streaming.rollup_stream import (
         run_to_memory_sink,
         stream_tumbling_rollup,
@@ -2316,11 +2338,37 @@ def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same UTC pin as _load (the driver may hand a non-UTC session and this
     # query bypasses _load for its readStream source)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = ev_raw.schema["ts"].dataType.simpleString()  # NTZ in testdata
+
+    def _ts_lit(v):  # literal of the SAME flavor as the column (NTZ vs LTZ)
+        return F.lit(v).cast(ts_type)
+
+    b = ev_raw.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).first()
+    t_mid = b["mn"] + (b["mx"] - b["mn"]) / 2
+    late_mark = b["mn"] + _dt.timedelta(hours=1)
+
+    # stage via distributed writes + a driver-side FILE move (no row ever
+    # crosses to the driver); staggered mtimes pin the micro-batch order
+    d = tempfile.mkdtemp(prefix="pneuma_rollup_stream_")
+    now = time.time()
+    parts = [
+        ("000_early", ev_raw.where(F.col("ts") < _ts_lit(t_mid))),
+        ("001_later", ev_raw.where(F.col("ts") >= _ts_lit(t_mid))),
+        ("002_late", ev_raw.where(F.col("ts") < _ts_lit(late_mark))),
+    ]
+    for i, (nm, df) in enumerate(parts):
+        stage_dir = f"{d}/__stage_{nm}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        dst = f"{d}/{nm}.parquet"
+        shutil.move(glob.glob(f"{stage_dir}/part-*.parquet")[0], dst)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        os.utime(dst, (now - 100 + 10 * i, now - 100 + 10 * i))
+
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(ev_raw.schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parque[t]")
+        .parquet(d)
     )
     src = stream.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
         "cents", _cents(F.col("value"))
@@ -2332,8 +2380,32 @@ def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="10 minutes",
     )
     name = _fresh_sink(spark, "rollup_stream")
-    run_to_memory_sink(out, name=name)
-    return spark.table(name).select("event_type", "bucket_ts", "n_events", "value_cents")
+    try:
+        run_to_memory_sink(out, name=name)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # staged-per-bucket counts (batch twin of the union the stream saw);
+    # late_dropped = staged − emitted, i.e. real evidence from the sink
+    ev = _load(spark, sf_dir, "events")
+    staged = ev.unionByName(ev.where(F.col("ts") < _ts_lit(late_mark)))
+    # cast NTZ→LTZ (lossless under the UTC pin) so bucket_ts joins against
+    # the sink's window-start timestamps
+    staged_counts = staged.groupBy(
+        "event_type",
+        F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("staged_n"))
+    return (
+        spark.table(name)
+        .join(staged_counts, ["event_type", "bucket_ts"])
+        .select(
+            "event_type",
+            "bucket_ts",
+            "n_events",
+            "value_cents",
+            (F.col("staged_n") - F.col("n_events")).alias("late_dropped"),
+        )
+    )
 
 
 @query(
