@@ -3,7 +3,21 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with a noop sink (full compute, no driver
-collect). Scaling evidence lives in its own harnesses:
+collect), and the whole suite runs REPS times (default 3): ``queries``
+carries per-query MEDIANS (this shared box shows up to ~40% same-commit
+run-to-run variance, so single samples cannot support regression
+judgments) and ``spread`` carries {median,min,max} per query. Each rep
+recomputes from the parquet sources (nothing is cached; the pipeline rep
+uses a fresh temp workdir) — rep 1 additionally absorbs residual
+codegen/JIT warmup, which the median then damps. The checkpointed
+pipeline runs $SPARK_GRAFT_PIPE_REPS times (default 2): its wall is
+internally amortized over 7 stages, so its measured rep-to-rep spread is
+~5% (vs ~40% on sub-second queries) and two reps keep the whole suite
+inside the <3 min budget at the r03-comparable 60k-conv size. The
+published amortized throughput number in BENCH/BASELINE.md still comes
+from the dedicated 6.4M-turn scaling runs.
+
+Scaling evidence lives in its own harnesses:
 ``python BENCH/run_scaling.py`` (pinned local[8] vs local[32]) and
 ``python BENCH/run_scaling_executors.py`` (1 vs 4 separate 8-core JVMs) —
 the BASELINE.md N→4N protocol; committed runs in BENCH/.
@@ -13,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -21,6 +36,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+PIPE_REPS = int(os.environ.get("SPARK_GRAFT_PIPE_REPS", "2"))
+PIPE_CONVS = int(os.environ.get("SPARK_GRAFT_PIPE_CONVS", "60000"))
 
 HEADLINE = [
     "rollup_1m",
@@ -54,9 +72,10 @@ def _force(df) -> None:
 
 
 def run_transcript_pipeline(spark, n_convs: int = 60000, seed: int = 42):
-    # 60k convs ≈ 1.3M turns: large enough that per-stage fixed costs (~3s
-    # each) amortize and the reported turns/sec reflects engine throughput,
-    # small enough to keep the whole suite under ~4 minutes on 32 cores.
+    # Default 60k convs ≈ 1.3M turns; the median-of-3 suite passes
+    # PIPE_CONVS=40k (~0.9M turns) per rep so three pipeline reps still fit
+    # the <3 min suite budget. In-bench turns/sec carries more fixed-cost
+    # dilution at the smaller size — compare rounds on the same PIPE_CONVS.
     """Full engine pipeline (synth → gap-fill → treatment → tier cascade →
     Gorilla chunks), checkpointed stages, cold workdir. Returns turn count."""
     import shutil
@@ -104,17 +123,26 @@ def main() -> None:
         )
     )
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = q.Q[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    samples["transcript_pipeline"] = []
+    n_turns = 0
+    for rep in range(REPS):
+        for name in HEADLINE:
+            fn = q.Q[name]
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            samples[name].append(round(time.perf_counter() - t0, 3))
+        if rep < PIPE_REPS:
+            t0 = time.perf_counter()
+            n_turns = run_transcript_pipeline(spark, n_convs=PIPE_CONVS)
+            samples["transcript_pipeline"].append(round(time.perf_counter() - t0, 3))
 
-    t0 = time.perf_counter()
-    n_turns = run_transcript_pipeline(spark)
-    pipe_sec = time.perf_counter() - t0
-    timings["transcript_pipeline"] = round(pipe_sec, 3)
+    timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    spread = {
+        n: {"median": timings[n], "min": min(v), "max": max(v)}
+        for n, v in samples.items()
+    }
+    pipe_sec = timings["transcript_pipeline"]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -125,6 +153,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": REPS,
                 "sf": float(sf),
                 "transcript_turns": n_turns,
                 "transcript_turns_per_sec": round(n_turns / pipe_sec, 1),
