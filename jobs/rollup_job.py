@@ -55,12 +55,15 @@ def run_pipeline(
     stats: str = "full",
     shard_index: int = 0,
     shard_count: int = 1,
+    stage_hook=None,
 ) -> dict:
     """Run (or resume) the full pipeline; returns a stage→metrics summary.
 
     ``input_table``: optional path to an existing transcripts parquet table;
     default synthesizes deterministically. ``stop_after``: stage name to halt
     after (used by the resume test to simulate a mid-job kill).
+    ``stage_hook(name)``: called after each stage completes — the seam the
+    bytes-per-stage instrumentation (BENCH/run_bytes.py) snapshots on.
     """
     cfg = cfg or TreatmentConfig()
     io = TableIO(spark, workdir, n_buckets=n_buckets)
@@ -88,6 +91,8 @@ def run_pipeline(
     def stage(name, build, **kw):
         order.append(name)
         df = runner.run_stage(name, build, **kw)
+        if stage_hook is not None:
+            stage_hook(name)
         if stop_after == name:
             raise _StopPipeline(name)
         return df
@@ -126,12 +131,16 @@ def run_pipeline(
             ),
             deps=["ingest"],
         )
-        # The kernels never read text/tool — shuttling the payload columns
-        # through the treatment shuffles would roughly double the stage's
-        # bytes. The treated table is a narrow metric series; text lives in
-        # `filled` and joins back on (conv_id, turn_idx) when needed.
+        # The kernels never read text/tool/role — shuttling payload or meta
+        # columns through the treatment's ~4 shuffle passes multiplies the
+        # stage's bytes. The treated table is a narrow metric series
+        # (measured: dropping `role` here cuts more shuffle bytes than
+        # dictionary-encoding it — ~20 B/row x 4 passes — BENCH/BASELINE.md
+        # bytes table); text/tool/role live in `filled` and join back
+        # exactly on (conv_id, turn_idx) when needed. `ts` stays for the
+        # p_day write clustering; `is_filled` is load-bearing semantics.
         narrow = filled.select(
-            "conv_id", "turn_idx", "ts", "role", "token_count", "is_filled"
+            "conv_id", "turn_idx", "ts", "token_count", "is_filled"
         )
         stage(
             "treated",

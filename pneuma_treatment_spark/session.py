@@ -62,6 +62,13 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # Parallelize partition-dir listing early (default threshold 32 dirs).
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4")
+        # Let joins reuse a child partitioning on a SUBSET of the join keys:
+        # the (conv_id, turn_idx) payload join-back then reuses the gap-fill
+        # windows' hash(conv_id) exchange instead of reshuffling the narrow
+        # side — measured -32 B/turn on the `filled` stage (-15%), wall
+        # neutral-to-positive (BENCH/BASELINE.md bytes table). Rows of one
+        # conv_id stay co-located, so join results are unchanged.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

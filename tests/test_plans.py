@@ -138,8 +138,9 @@ def test_bucketed_tables_join_without_exchange(spark, transcripts_df, tmp_path):
     )
     # disable broadcast so the planner must pick the shuffle-free bucketed
     # SMJ (at 100 TB neither side broadcasts; this test's tables are tiny).
-    # NB: the join key must BE the bucket key — Spark requires all join keys
-    # co-partitioned (requireAllClusterKeysForCoPartition defaults true).
+    # NB: the join key here IS the bucket key; the session also sets
+    # requireAllClusterKeysForCoPartition=false, which would additionally
+    # let a subset-keyed join reuse this layout (see session.py).
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -204,3 +205,57 @@ def test_fan_out_probe_gating(spark):
     # force_probe overrides the gate for callers that know their input is
     # compact; the deep plan then probes and widens
     assert sess.fan_out(deep, force_probe=True) is not deep
+
+
+def test_text_rides_no_treatment_or_rollup_shuffle(spark):
+    """Join-back audit (the bandwidth contract in jobs/rollup_job.py): the
+    payload column `text` must appear in NO Exchange feeding the treatment
+    or rollup stages — it crosses the wire exactly twice in the whole
+    pipeline, both inside the `filled` stage (the payload join-back and the
+    day/bucket write clustering)."""
+    from pneuma_treatment_spark.io.tableio import TableIO
+    from pneuma_treatment_spark.operators.gapfill import gap_fill
+    from pneuma_treatment_spark.operators.rollup import rollup_raw, with_turn_metrics
+    from pneuma_treatment_spark.operators.treatment import (
+        TreatmentConfig,
+        treat_transcripts,
+    )
+    from pneuma_treatment_spark.synth import generate_transcripts
+
+    import shutil
+    import tempfile
+
+    ingest = with_turn_metrics(generate_transcripts(spark, 20, seed=5, mega_turns=500))
+    narrowed = ingest.select(
+        "conv_id", "turn_idx", "role", "ts", "token_count", "is_tool_call"
+    )
+    filled = gap_fill(
+        narrowed, lerp_cols=("token_count",), lerp_ts_cols=("ts",)
+    ).join(ingest.select("conv_id", "turn_idx", "text", "tool"),
+           ["conv_id", "turn_idx"], "left")
+    # the pipeline's stage boundary: treated reads `filled` back from its
+    # table, so the payload join belongs to the filled stage's plan only
+    wd = tempfile.mkdtemp(prefix="textaudit_")
+    try:
+        io = TableIO(spark, wd)
+        io.write(ingest, "ingest")
+        io.write(filled, "filled")
+        treated_plan = _plan(
+            treat_transcripts(
+                io.read("filled").select(
+                    "conv_id", "turn_idx", "ts", "token_count", "is_filled"
+                ),
+                TreatmentConfig(),
+                chunked=True,
+            )
+        )
+        rollup_plan = _plan(rollup_raw(io.read("ingest"), "1m"))
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    for plan, label in ((treated_plan, "treated"), (rollup_plan, "rollup_1m")):
+        for line in plan.splitlines():
+            assert not (
+                "Exchange" in line and "text" in line
+            ), f"{label}: text in an exchange: {line}"
+        # treatment/rollup plans must not reference the payload at all
+        assert "text#" not in plan, label
