@@ -31,12 +31,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def rest_totals(spark) -> dict[str, int]:
-    """Cumulative byte totals across all completed Spark stages so far."""
+    """Cumulative byte totals across all Spark stages so far. Includes
+    'active' stages: the status store is fed by the ASYNC listener bus, so
+    a just-finished stage can still be marked active when the hook fires —
+    omitting it would credit its bytes to the NEXT pipeline stage. A short
+    settle sleep lets the bus drain the final task-end events first."""
+    time.sleep(0.2)
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     keys = ("inputBytes", "outputBytes", "shuffleReadBytes", "shuffleWriteBytes")
     tot = dict.fromkeys(keys, 0)
-    for status in ("complete", "failed"):
+    for status in ("complete", "failed", "active"):
         url = f"{ui}/api/v1/applications/{app}/stages?status={status}"
         for s in json.load(urllib.request.urlopen(url)):
             for k in keys:

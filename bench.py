@@ -72,10 +72,10 @@ def _force(df) -> None:
 
 
 def run_transcript_pipeline(spark, n_convs: int = 60000, seed: int = 42):
-    # Default 60k convs ≈ 1.3M turns; the median-of-3 suite passes
-    # PIPE_CONVS=40k (~0.9M turns) per rep so three pipeline reps still fit
-    # the <3 min suite budget. In-bench turns/sec carries more fixed-cost
-    # dilution at the smaller size — compare rounds on the same PIPE_CONVS.
+    # 60k convs ≈ 1.3M turns (the round-3-comparable size); the suite runs
+    # this PIPE_REPS times (default 2, capped at REPS) — see the module
+    # docstring for the budget math. In-bench turns/sec carries fixed-cost
+    # dilution at smaller sizes — compare rounds on the same PIPE_CONVS.
     """Full engine pipeline (synth → gap-fill → treatment → tier cascade →
     Gorilla chunks), checkpointed stages, cold workdir. Returns turn count."""
     import shutil
@@ -124,7 +124,8 @@ def main() -> None:
     )
 
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-    samples["transcript_pipeline"] = []
+    if PIPE_REPS > 0:
+        samples["transcript_pipeline"] = []
     n_turns = 0
     for rep in range(REPS):
         for name in HEADLINE:
@@ -132,7 +133,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             samples[name].append(round(time.perf_counter() - t0, 3))
-        if rep < PIPE_REPS:
+        if rep < PIPE_REPS:  # pipeline reps are capped at REPS
             t0 = time.perf_counter()
             n_turns = run_transcript_pipeline(spark, n_convs=PIPE_CONVS)
             samples["transcript_pipeline"].append(round(time.perf_counter() - t0, 3))
@@ -142,7 +143,8 @@ def main() -> None:
         n: {"median": timings[n], "min": min(v), "max": max(v)}
         for n, v in samples.items()
     }
-    pipe_sec = timings["transcript_pipeline"]
+    # PIPE_REPS=0 skips the pipeline entirely (query-only runs)
+    pipe_sec = timings.get("transcript_pipeline", 0.0)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -157,7 +159,9 @@ def main() -> None:
                 "reps": REPS,
                 "sf": float(sf),
                 "transcript_turns": n_turns,
-                "transcript_turns_per_sec": round(n_turns / pipe_sec, 1),
+                "transcript_turns_per_sec": (
+                    round(n_turns / pipe_sec, 1) if pipe_sec else None
+                ),
                 "cpus": CPUS,
             }
         )

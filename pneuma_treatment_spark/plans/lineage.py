@@ -166,7 +166,12 @@ def verify_partition_lineage(io: TableIO, name: str) -> bool:
     from pyspark.sql import functions as F
 
     m = json.loads((Path(io.root) / "_manifest" / f"{name}.json").read_text())
-    stored = io.spark.read.parquet(str(Path(io.root) / "_manifest" / f"{name}_partitions"))
+    ppath = Path(io.root) / "_manifest" / f"{name}_partitions"
+    if not ppath.exists():
+        # stats="fast" runs (bench) and pre-table-format manifests have no
+        # partitions table — that is a failed integrity check, not a crash
+        return False
+    stored = io.spark.read.parquet(str(ppath))
     actual = partition_counts(io.read(name))
     j = stored.withColumnRenamed("rows", "m_rows").join(actual, "p_day", "full_outer")
     mismatches = j.where(

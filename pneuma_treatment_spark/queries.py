@@ -2341,8 +2341,12 @@ def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = ev_raw.schema["ts"].dataType.simpleString()  # NTZ in testdata
 
-    def _ts_lit(v):  # literal of the SAME flavor as the column (NTZ vs LTZ)
-        return F.lit(v).cast(ts_type)
+    def _ts_lit(v):
+        # literal of the SAME flavor as the column (NTZ vs LTZ), routed
+        # through an ISO STRING: F.lit(datetime) converts via the driver
+        # OS timezone (time.mktime), which would shift the thresholds on
+        # any non-UTC driver machine; a string cast is timezone-free
+        return F.lit(v.isoformat(sep=" ")).cast(ts_type)
 
     b = ev_raw.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).first()
     t_mid = b["mn"] + (b["mx"] - b["mn"]) / 2

@@ -76,14 +76,25 @@ def get_spark(
 
 
 def _count_plan_nodes(jplan, cap: int) -> int:
-    """Count logical-plan tree nodes via py4j child traversal, stopping at
-    ``cap`` (the caller only needs shallow-vs-deep, not an exact count)."""
+    """Count logical-plan tree nodes via py4j traversal, stopping at
+    ``cap`` (the caller only needs shallow-vs-deep, not an exact count).
+    Walks ``innerChildren`` too — a scalar/IN-subquery hides a whole plan
+    there, and a scan + deep-subquery filter must count as DEEP (the probe
+    this gates would physical-plan the subquery as well)."""
     n = 1
-    children = jplan.children()
-    for i in range(children.size()):
-        if n >= cap:
-            break
-        n += _count_plan_nodes(children.apply(i), cap - n)
+    for seq_name in ("children", "innerChildren"):
+        # innerChildren may hold non-TreeNode entries; py4j raises at CALL
+        # time (hasattr is always true on JavaObject proxies), so treat any
+        # traversal failure as a leaf
+        try:
+            seq = getattr(jplan, seq_name)()
+            size = seq.size()
+        except Exception:
+            continue
+        for i in range(size):
+            if n >= cap:
+                return n
+            n += _count_plan_nodes(seq.apply(i), cap - n)
     return n
 
 
