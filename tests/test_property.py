@@ -130,3 +130,86 @@ def test_gaussian1d_equals_direct_weighted_sum(vals, sigma):
     for i in range(len(x)):
         direct = float(np.dot(padded[i : i + 2 * radius + 1], w[::-1]))
         assert abs(got[i] - direct) <= 1e-9 * max(1.0, abs(direct))
+
+
+def _foreign_reuse_chunk(v: np.ndarray, ts: np.ndarray) -> bytes:
+    """Hand-encode [v0, v1, v2, v2] using the paper's '10' previous-window
+    reuse class (our encoder never emits it): '11'-record for v1 opens a
+    (lead=0, mlen=64) window, v2 reuses it, v3 repeats."""
+    import struct
+
+    from pneuma_treatment_spark.compression import gorilla as g
+
+    bits_v = v.view(np.uint64)
+    x1 = int(bits_v[1] ^ bits_v[0])
+    x2 = int(bits_v[2] ^ bits_v[1])
+    stream = (
+        "11" + format(0, "06b") + format(63, "06b") + format(x1, "064b")
+        + "10" + format(x2, "064b")
+        + "0"
+    )
+    stream += "0" * ((-len(stream)) % 8)
+    vp = bytes(int(stream[i:i + 8], 2) for i in range(0, len(stream), 8))
+    th, tp = g._encode_ts(ts)
+    return b"".join(
+        [b"GOR1", th, struct.pack("<I", len(tp)), tp,
+         struct.pack("<Q", int(bits_v[0])), struct.pack("<I", len(vp)), vp]
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+    foreign_at=st.sets(st.integers(min_value=0, max_value=12), max_size=4),
+    data=st.data(),
+)
+def test_decode_chunks_mixed_foreign_batches(sizes, foreign_at, data):
+    """Batched decode must equal per-chunk decode for ANY interleaving of
+    native chunks and foreign '10'-reuse-class chunks — the per-chunk
+    fallback path must neither corrupt its neighbors' vectorized results
+    nor misplace output offsets."""
+    from pneuma_treatment_spark.compression.gorilla import (
+        decode_chunk,
+        decode_chunks,
+        encode_chunk,
+    )
+
+    blobs = []
+    for i, n in enumerate(sizes):
+        if i in foreign_at:
+            v = data.draw(
+                arrays(np.float64, shape=4, elements=finite_or_special)
+            )
+            # a '10' record needs a usable previous window: lead=0/mlen=64
+            # covers any payload, but v1 must differ from v0 so the '11'
+            # record is emitted (xor of equal bits is 0 -> '0' class)
+            if v.view(np.uint64)[1] == v.view(np.uint64)[0]:
+                v = v.copy()
+                v[1] = 1.5 if v.view(np.uint64)[0] != np.float64(1.5).view(np.uint64) else 2.5  # noqa: E501
+            ts = np.arange(4, dtype=np.int64) * 7 + i
+            blobs.append(_foreign_reuse_chunk(v, ts))
+        else:
+            ts = np.cumsum(
+                np.array(
+                    data.draw(
+                        st.lists(
+                            st.integers(min_value=0, max_value=2**20),
+                            min_size=n, max_size=n,
+                        )
+                    ),
+                    dtype=np.int64,
+                )
+            )
+            vals = data.draw(
+                arrays(np.float64, shape=n, elements=finite_or_special)
+            )
+            blobs.append(encode_chunk(ts, vals))
+    lens, tsb, vb = decode_chunks(blobs)
+    exp = [decode_chunk(b) for b in blobs]
+    assert list(lens) == [len(t) for t, _ in exp]
+    if len(tsb):
+        assert np.array_equal(tsb, np.concatenate([t for t, _ in exp]))
+        assert np.array_equal(
+            vb.view(np.uint64),
+            np.concatenate([v for _, v in exp]).view(np.uint64),
+        )

@@ -60,3 +60,23 @@ def test_config_change_invalidates_downstream(spark, workdir):
     run_pipeline(spark, workdir, **ARGS)
     s2 = run_pipeline(spark, workdir, **{**ARGS, "seed": 12})
     assert not any(st["skipped"] for st in s2["stages"].values())
+
+
+def test_lineage_detects_tampered_table(spark, workdir):
+    """The distributed recount must FAIL (cleanly, not crash) when a
+    stage's data no longer matches its recorded per-partition counts, and
+    when the counts table is absent (stats='fast' workdirs)."""
+    import shutil as _sh
+    from pathlib import Path
+
+    run_pipeline(spark, workdir, **ARGS)
+    io = TableIO(spark, workdir)
+    assert verify_partition_lineage(io, "rollup_1d")
+    # drop one day-partition directory from the table -> counts disagree
+    table_dir = Path(io.path("rollup_1d"))
+    victim = sorted(p for p in table_dir.iterdir() if p.name.startswith("p_day="))[0]
+    _sh.rmtree(victim)
+    assert verify_partition_lineage(io, "rollup_1d") is False
+    # missing counts table (fast-stats manifests) -> clean False
+    _sh.rmtree(Path(io.root) / "_manifest" / "ingest_partitions")
+    assert verify_partition_lineage(io, "ingest") is False
