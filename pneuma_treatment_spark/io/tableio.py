@@ -85,10 +85,14 @@ class TableIO:
             # Cluster rows by their target partition before the write: without
             # this every task appends a file to every partition dir —
             # tasks x dirs tiny files, which then dominates downstream scan
-            # time. With it each partition dir gets one file. (Same move as
-            # Iceberg's write.distribution-mode=hash.)
+            # time. REBALANCE (vs plain repartition) keeps the clustering
+            # but lets AQE right-size the writer tasks: tiny coarse tiers
+            # coalesce to a few tasks (measured ~10% faster tier writes),
+            # and a skewed hot day SPLITS across tasks instead of pinning
+            # one writer. (Same move as Iceberg's
+            # write.distribution-mode=hash.)
             (
-                w.repartition(*cols)
+                w.hint("rebalance", *cols)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", mode)
                 .partitionBy(*cols)
