@@ -13,7 +13,10 @@ codegen/JIT warmup, which the median then damps. The checkpointed
 pipeline runs $SPARK_GRAFT_PIPE_REPS times (default 2): its wall is
 internally amortized over 7 stages, so its measured rep-to-rep spread is
 ~5% (vs ~40% on sub-second queries) and two reps keep the whole suite
-inside the <3 min budget at the r03-comparable 60k-conv size. The
+inside the <3 min budget at the r03-comparable 60k-conv size. A
+deadline gate ($SPARK_GRAFT_BENCH_BUDGET_SEC, default 165 s from process
+start) skips later reps on a slow host window instead of overrunning the
+budget — rep 1 always completes; ``reps_run`` records what happened. The
 published amortized throughput number in BENCH/BASELINE.md still comes
 from the dedicated 6.4M-turn scaling runs.
 
@@ -39,6 +42,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 PIPE_REPS = int(os.environ.get("SPARK_GRAFT_PIPE_REPS", "2"))
 PIPE_CONVS = int(os.environ.get("SPARK_GRAFT_PIPE_CONVS", "60000"))
+# Wall-clock budget from PROCESS start: on a slow host window (±40%
+# same-commit variance) later reps are SKIPPED rather than blowing the
+# 3-minute suite budget — rep 1 always completes, medians cover whatever
+# ran, and the JSON records how many reps actually happened.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "165"))
+_T0 = time.perf_counter()
 
 HEADLINE = [
     "rollup_1m",
@@ -127,16 +136,28 @@ def main() -> None:
     if PIPE_REPS > 0:
         samples["transcript_pipeline"] = []
     n_turns = 0
+    reps_run = 0
+    qcost = pcost = 0.0  # last observed query-block / pipeline walls
     for rep in range(REPS):
+        if rep > 0:
+            # deadline gate: skip this rep if its estimated cost (last
+            # rep's observed component walls) would overrun the budget
+            est = qcost + (pcost if rep < PIPE_REPS else 0.0)
+            if time.perf_counter() - _T0 + est > BUDGET_SEC:
+                break
+        t0 = time.perf_counter()
         for name in HEADLINE:
             fn = q.Q[name]
-            t0 = time.perf_counter()
+            tq = time.perf_counter()
             _force(fn(spark, SF_DIR))
-            samples[name].append(round(time.perf_counter() - t0, 3))
+            samples[name].append(round(time.perf_counter() - tq, 3))
+        qcost = time.perf_counter() - t0
         if rep < PIPE_REPS:  # pipeline reps are capped at REPS
             t0 = time.perf_counter()
             n_turns = run_transcript_pipeline(spark, n_convs=PIPE_CONVS)
-            samples["transcript_pipeline"].append(round(time.perf_counter() - t0, 3))
+            pcost = time.perf_counter() - t0
+            samples["transcript_pipeline"].append(round(pcost, 3))
+        reps_run += 1
 
     timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     spread = {
@@ -157,6 +178,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "reps": REPS,
+                "reps_run": reps_run,
                 "sf": float(sf),
                 "transcript_turns": n_turns,
                 "transcript_turns_per_sec": (
