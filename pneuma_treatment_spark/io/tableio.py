@@ -90,10 +90,17 @@ class TableIO:
             # coalesce to a few tasks (measured ~10% faster tier writes),
             # and a skewed hot day SPLITS across tasks instead of pinning
             # one writer. (Same move as Iceberg's
-            # write.distribution-mode=hash.)
+            # write.distribution-mode=hash.) The hint only RESOLVES under
+            # AQE — with AQE off Spark drops it with a log line and the
+            # tiny-file blowup returns, so fall back to the unconditional
+            # repartition there.
+            aqe = (
+                self.spark.conf.get("spark.sql.adaptive.enabled", "true").lower()
+                == "true"
+            )
+            w = w.hint("rebalance", *cols) if aqe else w.repartition(*cols)
             (
-                w.hint("rebalance", *cols)
-                .write.mode("overwrite")
+                w.write.mode("overwrite")
                 .option("partitionOverwriteMode", mode)
                 .partitionBy(*cols)
                 .parquet(self.path(table))

@@ -2323,7 +2323,6 @@ def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     late row, both ``n_events`` and ``late_dropped`` shift and the oracle
     hash catches it. The oracle counts first-hour rows per closed bucket as
     its ``late_dropped``."""
-    import datetime as _dt
     import glob
     import os
     import shutil
@@ -2341,16 +2340,26 @@ def rollup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = ev_raw.schema["ts"].dataType.simpleString()  # NTZ in testdata
 
-    def _ts_lit(v):
+    def _ts_lit(s):
         # literal of the SAME flavor as the column (NTZ vs LTZ), routed
-        # through an ISO STRING: F.lit(datetime) converts via the driver
-        # OS timezone (time.mktime), which would shift the thresholds on
-        # any non-UTC driver machine; a string cast is timezone-free
-        return F.lit(v.isoformat(sep=" ")).cast(ts_type)
+        # through a STRING rendered AND parsed in the (UTC-pinned) session
+        # timezone. Never F.lit(datetime): PySpark converts that via the
+        # driver OS timezone (time.mktime), shifting thresholds on any
+        # non-UTC machine; and never driver-side datetime arithmetic on
+        # collected LTZ values, which arrive OS-tz-naive.
+        return F.lit(s).cast(ts_type)
 
-    b = ev_raw.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).first()
-    t_mid = b["mn"] + (b["mx"] - b["mn"]) / 2
-    late_mark = b["mn"] + _dt.timedelta(hours=1)
+    b = (
+        ev_raw.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .select(
+            (F.col("mn") + (F.col("mx") - F.col("mn")) / 2)
+            .cast("string").alias("t_mid"),
+            (F.col("mn") + F.expr("INTERVAL 1 HOUR"))
+            .cast("string").alias("late_mark"),
+        )
+        .first()
+    )
+    t_mid, late_mark = b["t_mid"], b["late_mark"]
 
     # stage via distributed writes + a driver-side FILE move (no row ever
     # crosses to the driver); staggered mtimes pin the micro-batch order
