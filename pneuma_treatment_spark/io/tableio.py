@@ -127,6 +127,46 @@ class TableIO:
         shutil.rmtree(dst, ignore_errors=True)
         shutil.move(tmp, dst)
 
+    def compact(self, table: str, advisory_bytes: str | None = "64m") -> None:
+        """Small-file compaction (Iceberg ``rewriteDataFiles`` analog): the
+        streaming hot end and repeated partition overwrites accumulate many
+        small files per partition dir; rewrite the table clustered by its
+        partition keys so each dir collapses back to few AQE-right-sized
+        files. ``advisory_bytes`` temporarily raises the session's AQE
+        advisory partition size for the rewrite (compaction wants FEWER,
+        larger files than the query-oriented session default); pass None
+        to keep the session value. On real Iceberg this is the
+        snapshot-isolated ``rewrite_data_files`` procedure; here it
+        rewrites to a sibling dir and swaps, like :meth:`delete_where`."""
+        df = self.read(table)
+        cols = [c for c in ("p_day", "p_bucket") if c in df.columns]
+        conf_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        old = self.spark.conf.get(conf_key, None)
+        aqe = (
+            self.spark.conf.get("spark.sql.adaptive.enabled", "true").lower()
+            == "true"
+        )
+        if advisory_bytes and aqe:
+            self.spark.conf.set(conf_key, advisory_bytes)
+        try:
+            if cols:
+                w = df.hint("rebalance", *cols) if aqe else df.repartition(*cols)
+            else:
+                w = df.hint("rebalance") if aqe else df.coalesce(1)
+            tmp = self.path(table) + ".__compact__"
+            wr = w.write.mode("overwrite")
+            if cols:
+                wr = wr.partitionBy(*cols)
+            wr.parquet(tmp)
+        finally:
+            if advisory_bytes and aqe and old is not None:
+                self.spark.conf.set(conf_key, old)
+        import shutil
+
+        dst = self.path(table)
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.move(tmp, dst)
+
     # ------------------------------------------------------------------
     # Hive-style bucketed tables: exchange-free co-located joins
     # ------------------------------------------------------------------

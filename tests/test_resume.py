@@ -80,3 +80,56 @@ def test_lineage_detects_tampered_table(spark, workdir):
     # missing counts table (fast-stats manifests) -> clean False
     _sh.rmtree(Path(io.root) / "_manifest" / "ingest_partitions")
     assert verify_partition_lineage(io, "ingest") is False
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    """TableIO.compact (Iceberg rewriteDataFiles analog) must collapse a
+    fragmented table to few files per partition dir while preserving every
+    row exactly and keeping the partition layout prunable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    io = TableIO(spark, str(tmp_path / "ct"), n_buckets=2)
+    e = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    io.write(e, "t")
+    # fragment it: 6 appends of 4-way-split slices -> many files per dir
+    frag = io.with_partition_cols(e.limit(2000))
+    for _ in range(6):
+        frag.repartition(4).write.mode("append").partitionBy(
+            "p_day", "p_bucket"
+        ).parquet(io.path("t"))
+
+    def nfiles():
+        return sum(
+            1
+            for _, _, fs in os.walk(io.path("t"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before_rows = io.read("t").count()
+    before_files = nfiles()
+    before = io.read("t").groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    ).toPandas().sort_values("conv_id").reset_index(drop=True)
+
+    io.compact("t")
+    after_files = nfiles()
+    assert after_files < before_files / 2, (before_files, after_files)
+    assert io.read("t").count() == before_rows
+    after = io.read("t").groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    ).toPandas().sort_values("conv_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after)
+    # partition dirs survive (pruning layout intact)
+    assert any(p.startswith("p_day=") for p in os.listdir(io.path("t")))
