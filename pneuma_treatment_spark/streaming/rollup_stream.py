@@ -78,7 +78,7 @@ def run_to_memory_sink(
     rollup_stream: DataFrame, name: str = "stream_rollup", mode: str = "append"
 ):
     """Drain all available input (availableNow) into an in-memory table —
-    the test/demo sink; production uses ``toTable``/parquet + checkpoint."""
+    the test/demo sink; production uses :func:`run_to_parquet_sink`."""
     q = (
         rollup_stream.writeStream.format("memory")
         .queryName(name)
@@ -87,4 +87,46 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+    return q
+
+
+def run_to_parquet_sink(
+    rollup_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: tuple[str, ...] = (),
+    available_now: bool = True,
+    trigger_seconds: int | None = None,
+):
+    """Production sink: append-mode parquet with a checkpoint — the raw-tier
+    landing the batch cascade (1m→1h→1d) reads closed buckets from.
+
+    Exactly-once across restarts rides the checkpoint: the file-source
+    offsets and the sink's transaction log (``_spark_metadata``) commit
+    together, so a killed job re-run with the SAME ``checkpoint`` resumes
+    at the first unprocessed micro-batch and never double-writes a bucket
+    (tests/test_streaming.py pins this by running, adding late input,
+    and re-running against the same checkpoint). ``available_now=True``
+    drains what exists and stops (the batch-boundary mode the pipeline's
+    scheduler invokes per cycle); pass ``False`` with
+    ``trigger_seconds`` for a continuous micro-batch job. At scale,
+    partition by the same day/bucket layout as TableIO so the batch
+    cascade's scans prune (pass ``partition_cols``); readers must use
+    the streaming-aware listing (Spark reads ``_spark_metadata``
+    automatically when scanning the sink directory)."""
+    w = (
+        rollup_stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
     return q

@@ -218,3 +218,75 @@ def test_stream_tumbling_rollup_closed_window_rule(spark, tmp_path):
         if r[1].replace(second=0, microsecond=0) + dt.timedelta(minutes=1) <= wm
     }
     assert got == want and len(want) > 5
+
+
+def test_parquet_sink_resumes_exactly_once(spark, transcripts_df, tmp_path):
+    """Production sink contract: a second availableNow run against the SAME
+    checkpoint processes only the newly-arrived input — no closed bucket is
+    ever emitted twice — and the combined sink equals the batch rollup on
+    the closed-window region of all data."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.streaming.rollup_stream import (
+        read_transcript_stream,
+        run_to_parquet_sink,
+        stream_rollup_1m,
+    )
+
+    src = str(tmp_path / "psink_src")
+    sink = str(tmp_path / "psink_out")
+    ckpt = str(tmp_path / "psink_ckpt")
+    os.makedirs(src)
+
+    # arrival batch 1: everything before the split point
+    split = transcripts_df.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).select(
+        (F.col("mn") + (F.col("mx") - F.col("mn")) / 2).cast("string")
+    ).first()[0]
+    early = transcripts_df.where(F.col("ts") < F.lit(split).cast("timestamp"))
+    late = transcripts_df.where(F.col("ts") >= F.lit(split).cast("timestamp"))
+    early.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    # the stream reads the directory recursively? No — stage files flat:
+    import glob as _glob
+    import shutil as _sh
+
+    _sh.move(_glob.glob(f"{src}/b1/part-*.parquet")[0], f"{src}/000.parquet")
+    _sh.rmtree(f"{src}/b1")
+    now = _time.time()
+    os.utime(f"{src}/000.parquet", (now - 60, now - 60))
+
+    run_to_parquet_sink(
+        stream_rollup_1m(read_transcript_stream(spark, src)), sink, ckpt
+    )
+    first = spark.read.parquet(sink).toPandas()
+    assert len(first) > 0
+
+    # arrival batch 2: the rest lands later; SAME checkpoint
+    late.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+    _sh.move(_glob.glob(f"{src}/b2/part-*.parquet")[0], f"{src}/001.parquet")
+    _sh.rmtree(f"{src}/b2")
+    os.utime(f"{src}/001.parquet", (now - 30, now - 30))
+
+    run_to_parquet_sink(
+        stream_rollup_1m(read_transcript_stream(spark, src)), sink, ckpt
+    )
+    got = spark.read.parquet(sink).toPandas()
+
+    # exactly-once: no (conv, bucket) appears twice across the two runs
+    assert not got.duplicated(["conv_id", "bucket_ts"]).any()
+
+    # combined closed-window region == batch rollup of ALL data
+    want = rollup_raw(with_turn_metrics(transcripts_df), "1m").toPandas()
+    cutoff = transcripts_df.agg({"ts": "max"}).collect()[0][0] - pd.Timedelta(
+        "11 minutes"
+    )
+    assert_pdf_equal(
+        got[got.bucket_ts < cutoff],
+        want[want.bucket_ts < cutoff],
+        ["conv_id", "bucket_ts"],
+    )
