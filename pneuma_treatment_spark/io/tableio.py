@@ -111,41 +111,107 @@ class TableIO:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    def _rewrite_swap(self, df: DataFrame, table: str, partition_cols: list[str]) -> None:
+        """Write ``df`` to a sibling dir and swap it under the table path —
+        the shared atomic-ish rewrite used by :meth:`delete_where` and
+        :meth:`compact` (sandbox-local; real Iceberg commits these
+        transactionally as a new snapshot).
+
+        An EMPTY partitioned write emits no data file at all (only
+        _SUCCESS), leaving an unreadable table — e.g. a TTL delete that
+        expires every row. Iceberg keeps schema in metadata; here the
+        schema lives in parquet footers, so fall back to one flat
+        schema-bearing empty file (partition dirs regrow on the next
+        write)."""
+        import shutil
+
+        tmp = self.path(table) + ".__rewrite__"
+        wr = df.write.mode("overwrite")
+        if partition_cols:
+            wr = wr.partitionBy(*partition_cols)
+        wr.parquet(tmp)
+        if partition_cols and not self._has_data_file(tmp):
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = self.path(table)
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.move(tmp, dst)
+
+    def _has_data_file(self, path: str) -> bool:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
+
+    def _partition_dirs(self, table: str) -> list[str]:
+        """Partition columns ACTUALLY present as directories (a table may
+        carry p_day/p_bucket as plain data columns without being
+        directory-partitioned — layout must be detected from the layout)."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path(table))
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        names = {
+            st.getPath().getName().split("=", 1)[0]
+            for st in fs.listStatus(p)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        }
+        return [c for c in ("p_day", "p_bucket") if c in names]
+
     def delete_where(self, table: str, predicate: str) -> None:
         """Partition-level TTL delete (Iceberg ``DELETE WHERE`` analog):
         rewrite the table keeping rows NOT matching the predicate. On real
         Iceberg with a partition-aligned predicate this is metadata-only."""
         df = self.read(table).where(f"NOT ({predicate})")
-        tmp = self.path(table) + ".__tmp__"
-        df.write.mode("overwrite").partitionBy(
-            *[c for c in ("p_day", "p_bucket") if c in df.columns]
-        ).parquet(tmp)
-        # atomic-ish swap (sandbox-local; Iceberg does this transactionally)
-        import shutil
-
-        dst = self.path(table)
-        shutil.rmtree(dst, ignore_errors=True)
-        shutil.move(tmp, dst)
+        self._rewrite_swap(
+            df, table, [c for c in ("p_day", "p_bucket") if c in df.columns]
+        )
 
     def compact(self, table: str, advisory_bytes: str | None = "64m") -> None:
         """Small-file compaction (Iceberg ``rewriteDataFiles`` analog): the
-        streaming hot end and repeated partition overwrites accumulate many
-        small files per partition dir; rewrite the table clustered by its
-        partition keys so each dir collapses back to few AQE-right-sized
-        files. ``advisory_bytes`` temporarily raises the session's AQE
-        advisory partition size for the rewrite (compaction wants FEWER,
-        larger files than the query-oriented session default); pass None
-        to keep the session value. On real Iceberg this is the
-        snapshot-isolated ``rewrite_data_files`` procedure; here it
-        rewrites to a sibling dir and swaps, like :meth:`delete_where`."""
+        batch tables' repeated partition overwrites accumulate small files
+        per partition dir; rewrite the table clustered by its DIRECTORY
+        partition keys (detected from the layout, not from column
+        presence — an unpartitioned table stays unpartitioned) so each dir
+        collapses back to few AQE-right-sized files.
+
+        Refuses two layouts it would corrupt: a Structured Streaming sink
+        dir (its ``_spark_metadata`` transaction log lists exact files —
+        rewriting them would silently vanish history from streaming-aware
+        readers; stop the stream and convert the sink to a managed table
+        first) and a Hive-bucketed catalog table (the rewrite would drop
+        the bucket-id file naming the catalog metadata promises).
+
+        ``advisory_bytes`` temporarily raises the session's AQE advisory
+        partition size for the rewrite (compaction wants FEWER, larger
+        files than the query-oriented session default; restored — or unset
+        if the session never set it — afterwards; note the conf is
+        session-global for the duration, so run maintenance in its own
+        session when queries run concurrently). On real Iceberg this is
+        the snapshot-isolated ``rewrite_data_files`` procedure."""
+        import os
+
+        if os.path.isdir(os.path.join(self.path(table), "_spark_metadata")):
+            raise ValueError(
+                f"{table}: refusing to compact a streaming-sink dir — "
+                "_spark_metadata pins exact file names; rewriting would drop "
+                "compacted history from streaming-aware readers"
+            )
+        if self.spark.catalog.tableExists(self._catalog_name(table)):
+            raise ValueError(
+                f"{table}: refusing to compact a Hive-bucketed catalog table "
+                "— rewrite with write_bucketed() to keep bucket metadata"
+            )
         df = self.read(table)
-        cols = [c for c in ("p_day", "p_bucket") if c in df.columns]
+        cols = self._partition_dirs(table)
         conf_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-        old = self.spark.conf.get(conf_key, None)
         aqe = (
             self.spark.conf.get("spark.sql.adaptive.enabled", "true").lower()
             == "true"
         )
+        old = self.spark.conf.get(conf_key, None) if advisory_bytes and aqe else None
         if advisory_bytes and aqe:
             self.spark.conf.set(conf_key, advisory_bytes)
         try:
@@ -153,19 +219,13 @@ class TableIO:
                 w = df.hint("rebalance", *cols) if aqe else df.repartition(*cols)
             else:
                 w = df.hint("rebalance") if aqe else df.coalesce(1)
-            tmp = self.path(table) + ".__compact__"
-            wr = w.write.mode("overwrite")
-            if cols:
-                wr = wr.partitionBy(*cols)
-            wr.parquet(tmp)
+            self._rewrite_swap(w, table, cols)
         finally:
-            if advisory_bytes and aqe and old is not None:
-                self.spark.conf.set(conf_key, old)
-        import shutil
-
-        dst = self.path(table)
-        shutil.rmtree(dst, ignore_errors=True)
-        shutil.move(tmp, dst)
+            if advisory_bytes and aqe:
+                if old is not None:
+                    self.spark.conf.set(conf_key, old)
+                else:
+                    self.spark.conf.unset(conf_key)
 
     # ------------------------------------------------------------------
     # Hive-style bucketed tables: exchange-free co-located joins

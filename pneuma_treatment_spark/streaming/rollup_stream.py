@@ -109,11 +109,23 @@ def run_to_parquet_sink(
     and re-running against the same checkpoint). ``available_now=True``
     drains what exists and stops (the batch-boundary mode the pipeline's
     scheduler invokes per cycle); pass ``False`` with
-    ``trigger_seconds`` for a continuous micro-batch job. At scale,
+    ``trigger_seconds`` for a continuous micro-batch job — the returned
+    query is RUNNING and the caller owns awaitTermination/stop. The two
+    knobs are mutually exclusive and validated. At scale,
     partition by the same day/bucket layout as TableIO so the batch
     cascade's scans prune (pass ``partition_cols``); readers must use
     the streaming-aware listing (Spark reads ``_spark_metadata``
     automatically when scanning the sink directory)."""
+    if available_now and trigger_seconds is not None:
+        raise ValueError(
+            "available_now=True ignores trigger_seconds — pass "
+            "available_now=False for a continuous micro-batch job"
+        )
+    if not available_now and trigger_seconds is None:
+        raise ValueError(
+            "available_now=False requires trigger_seconds (the micro-batch "
+            "interval); without it Spark would poll as-fast-as-possible"
+        )
     w = (
         rollup_stream.writeStream.format("parquet")
         .option("path", path)
@@ -124,7 +136,7 @@ def run_to_parquet_sink(
         w = w.partitionBy(*partition_cols)
     if available_now:
         w = w.trigger(availableNow=True)
-    elif trigger_seconds is not None:
+    else:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     q = w.start()
     if available_now:

@@ -133,3 +133,53 @@ def test_compact_collapses_small_files(spark, tmp_path):
     pd.testing.assert_frame_equal(before, after)
     # partition dirs survive (pruning layout intact)
     assert any(p.startswith("p_day=") for p in os.listdir(io.path("t")))
+
+
+def test_compact_guards_and_conf_restore(spark, tmp_path):
+    """compact() must refuse the two layouts it would corrupt (streaming
+    sink dirs and Hive-bucketed catalog tables), must NOT leave its
+    temporary AQE advisory in the session, and must keep an unpartitioned
+    table unpartitioned even when p_day rides as a data column."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    io = TableIO(spark, str(tmp_path / "cg"), n_buckets=2)
+    e = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .limit(2000)
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+
+    # streaming-sink refusal
+    io.write(e, "s")
+    os.makedirs(os.path.join(io.path("s"), "_spark_metadata"))
+    with pytest.raises(ValueError, match="streaming-sink"):
+        io.compact("s")
+
+    # bucketed-catalog refusal
+    io.write_bucketed(e.withColumn("turn_idx", F.lit(0)), "bt")
+    with pytest.raises(ValueError, match="bucketed"):
+        io.compact("bt")
+
+    # advisory restore: set -> restored; unset -> stays unset
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    before = spark.conf.get(key)
+    io.write(e, "t")
+    io.compact("t")
+    assert spark.conf.get(key) == before
+
+    # unpartitioned table carrying p_day as a DATA column stays flat
+    flat = io.with_partition_cols(e)
+    io.write(flat, "flat", partitioned=False)
+    pre_cols = io.read("flat").columns
+    io.compact("flat")
+    assert io.read("flat").columns == pre_cols
+    assert not any(
+        d.startswith("p_day=") for d in os.listdir(io.path("flat"))
+    )

@@ -121,3 +121,33 @@ def test_salted_agg_exact(spark, transcripts_df):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(plain, salted[plain.columns], check_dtype=False)
+
+
+def test_ttl_expiring_every_row_keeps_table_readable(spark, tmp_path):
+    """A TTL pass that expires EVERY row must leave a readable,
+    schema-bearing empty table (an empty partitioned parquet write emits
+    no data file — the rewrite falls back to one flat schema file), and
+    the table must accept a subsequent write and a compact()."""
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.io.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "ttl_all"), n_buckets=2)
+    e = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .limit(500)
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    io.write(e, "t")
+    io.delete_where("t", "TRUE")  # everything expires
+    empty = io.read("t")
+    assert empty.count() == 0
+    assert set(("conv_id", "ts", "value")) <= set(empty.columns)
+    io.compact("t")  # maintenance on the empty table must not crash
+    assert io.read("t").count() == 0
+    io.write(e, "t")  # and the table regrows on the next write
+    assert io.read("t").count() == 500
