@@ -140,6 +140,30 @@ def read_chunks(chunks: DataFrame) -> DataFrame:
     return chunks.mapInPandas(dec, POINT_SCHEMA)
 
 
+def read_chunks_range(chunks: DataFrame, start, end) -> DataFrame:
+    """Time-range read over a chunk table: prune on the per-chunk
+    (start_ts, end_ts) stats JVM-side BEFORE any blob reaches Python —
+    the Gorilla-chunk analog of parquet row-group min/max pruning — then
+    decode only the surviving chunks and trim boundary chunks with a
+    point-level residual filter. On a day-partitioned chunk table the
+    stat filter composes with p_day partition pruning, so a narrow window
+    over years of data touches only its overlapping chunks' bytes.
+
+    ``start``/``end`` are inclusive bounds as ISO strings (parsed in the
+    session timezone — never pass python datetimes to literals; see the
+    driver-OS-timezone sharp edge) or Columns."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    def _lit(v):
+        return v if isinstance(v, Column) else F.lit(str(v)).cast("timestamp")
+
+    lo, hi = _lit(start), _lit(end)
+    pruned = chunks.where((F.col("end_ts") >= lo) & (F.col("start_ts") <= hi))
+    pts = read_chunks(pruned)
+    return pts.where((F.col("bucket_ts") >= lo) & (F.col("bucket_ts") <= hi))
+
+
 def points_with_rates(points: DataFrame) -> DataFrame:
     """Pivot decoded (metric, value) points back to wide rows and re-derive
     the float rates from the stored integer partials — bit-identical to the

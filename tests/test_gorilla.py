@@ -292,3 +292,53 @@ def test_corrupt_chunks_raise_value_error():
     )
     with pytest.raises(ValueError):
         g.decode_chunk(blob2)
+
+
+def test_read_chunks_range_prunes_before_decode(spark, transcripts_df):
+    """Time-range chunk read: the (start_ts, end_ts) stat filter must drop
+    non-overlapping chunks BEFORE decode (chunk-count strictly shrinks),
+    and the decoded window must equal the full decode filtered to the same
+    bounds — including partially-overlapping boundary chunks."""
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.compression.chunks import (
+        read_chunks,
+        read_chunks_range,
+        write_chunks,
+    )
+    from pneuma_treatment_spark.operators.rollup import rollup_raw, with_turn_metrics
+
+    tier = rollup_raw(with_turn_metrics(transcripts_df), "1m")
+    chunks = write_chunks(tier)
+    chunks.cache().count()
+
+    b = tier.agg(F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx")).select(
+        (F.col("mn") + (F.col("mx") - F.col("mn")) / 3).cast("string").alias("lo"),
+        (F.col("mn") + (F.col("mx") - F.col("mn")) * 2 / 3).cast("string").alias("hi"),
+    ).first()
+    lo, hi = b["lo"], b["hi"]
+
+    total_chunks = chunks.count()
+    surviving = chunks.where(
+        (F.col("end_ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("start_ts") <= F.lit(hi).cast("timestamp"))
+    ).count()
+    assert 0 < surviving < total_chunks  # pruning actually bites
+
+    got = read_chunks_range(chunks, lo, hi).toPandas()
+    want = (
+        read_chunks(chunks)
+        .where(
+            (F.col("bucket_ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("bucket_ts") <= F.lit(hi).cast("timestamp"))
+        )
+        .toPandas()
+    )
+    key = ["conv_id", "tier", "metric", "bucket_ts"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(g, w)
+    chunks.unpersist()
