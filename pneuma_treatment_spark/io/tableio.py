@@ -81,7 +81,17 @@ class TableIO:
             # mode rides the WRITER (overrides the session conf per write),
             # so concurrent TableIO writes in one session cannot race on a
             # session-global setting, and nothing leaks to other writes.
-            mode = "dynamic" if self._exists(table) else "static"
+            # dynamic only when there are existing PARTITION DIRS to
+            # preserve: a fresh table has nothing to keep, and a
+            # fully-TTL-expired table holds only the flat schema-bearing
+            # empty file the rewrite fallback left — static overwrite
+            # replaces the whole path, so that stale file cannot survive
+            # next to regrown partition dirs (schema-drift hazard).
+            mode = (
+                "dynamic"
+                if self._exists(table) and self._partition_dirs(table)
+                else "static"
+            )
             # Cluster rows by their target partition before the write: without
             # this every task appends a file to every partition dir —
             # tasks x dirs tiny files, which then dominates downstream scan
@@ -111,6 +121,35 @@ class TableIO:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    def _guard_rewrite(self, table: str, op: str) -> None:
+        """Refuse in-place rewrites of layouts they would corrupt — shared
+        by :meth:`delete_where` and :meth:`compact`:
+
+        * a Structured Streaming sink dir: its ``_spark_metadata``
+          transaction log pins exact file names, so a rewrite silently
+          vanishes history from streaming-aware readers (stop the stream
+          and convert the sink to a managed table first);
+        * a Hive-bucketed catalog table: the rewrite would drop the
+          bucket-id file naming the catalog metadata promises, breaking
+          every subsequent exchange-free ``read_table`` join.
+
+        Checks go through the Hadoop FS API (any scheme, not just local
+        paths — same reason as :meth:`_exists`)."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path(table)}/_spark_metadata")
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            raise ValueError(
+                f"{table}: refusing to {op} a streaming-sink dir — "
+                "_spark_metadata pins exact file names; rewriting would drop "
+                "history from streaming-aware readers"
+            )
+        if self.spark.catalog.tableExists(self._catalog_name(table)):
+            raise ValueError(
+                f"{table}: refusing to {op} a Hive-bucketed catalog table "
+                "— rewrite with write_bucketed() to keep bucket metadata"
+            )
+
     def _rewrite_swap(self, df: DataFrame, table: str, partition_cols: list[str]) -> None:
         """Write ``df`` to a sibling dir and swap it under the table path —
         the shared atomic-ish rewrite used by :meth:`delete_where` and
@@ -121,8 +160,10 @@ class TableIO:
         _SUCCESS), leaving an unreadable table — e.g. a TTL delete that
         expires every row. Iceberg keeps schema in metadata; here the
         schema lives in parquet footers, so fall back to one flat
-        schema-bearing empty file (partition dirs regrow on the next
-        write)."""
+        schema-bearing empty file from the KNOWN schema (no second scan of
+        the source lineage); :meth:`write` takes the static full-overwrite
+        path over such an empty table, so the stale schema file cannot
+        outlive the next real write."""
         import shutil
 
         tmp = self.path(table) + ".__rewrite__"
@@ -131,7 +172,9 @@ class TableIO:
             wr = wr.partitionBy(*partition_cols)
         wr.parquet(tmp)
         if partition_cols and not self._has_data_file(tmp):
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            self.spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
         dst = self.path(table)
         shutil.rmtree(dst, ignore_errors=True)
         shutil.move(tmp, dst)
@@ -163,11 +206,13 @@ class TableIO:
     def delete_where(self, table: str, predicate: str) -> None:
         """Partition-level TTL delete (Iceberg ``DELETE WHERE`` analog):
         rewrite the table keeping rows NOT matching the predicate. On real
-        Iceberg with a partition-aligned predicate this is metadata-only."""
+        Iceberg with a partition-aligned predicate this is metadata-only.
+        Shares :meth:`compact`'s layout guards and directory-detected
+        partitioning (a flat table stays flat even if it carries
+        p_day/p_bucket as data columns)."""
+        self._guard_rewrite(table, "TTL-rewrite")
         df = self.read(table).where(f"NOT ({predicate})")
-        self._rewrite_swap(
-            df, table, [c for c in ("p_day", "p_bucket") if c in df.columns]
-        )
+        self._rewrite_swap(df, table, self._partition_dirs(table))
 
     def compact(self, table: str, advisory_bytes: str | None = "64m") -> None:
         """Small-file compaction (Iceberg ``rewriteDataFiles`` analog): the
@@ -191,19 +236,7 @@ class TableIO:
         session-global for the duration, so run maintenance in its own
         session when queries run concurrently). On real Iceberg this is
         the snapshot-isolated ``rewrite_data_files`` procedure."""
-        import os
-
-        if os.path.isdir(os.path.join(self.path(table), "_spark_metadata")):
-            raise ValueError(
-                f"{table}: refusing to compact a streaming-sink dir — "
-                "_spark_metadata pins exact file names; rewriting would drop "
-                "compacted history from streaming-aware readers"
-            )
-        if self.spark.catalog.tableExists(self._catalog_name(table)):
-            raise ValueError(
-                f"{table}: refusing to compact a Hive-bucketed catalog table "
-                "— rewrite with write_bucketed() to keep bucket metadata"
-            )
+        self._guard_rewrite(table, "compact")
         df = self.read(table)
         cols = self._partition_dirs(table)
         conf_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"

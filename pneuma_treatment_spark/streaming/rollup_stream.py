@@ -121,10 +121,10 @@ def run_to_parquet_sink(
             "available_now=True ignores trigger_seconds — pass "
             "available_now=False for a continuous micro-batch job"
         )
-    if not available_now and trigger_seconds is None:
+    if not available_now and (trigger_seconds is None or trigger_seconds <= 0):
         raise ValueError(
-            "available_now=False requires trigger_seconds (the micro-batch "
-            "interval); without it Spark would poll as-fast-as-possible"
+            "available_now=False requires a POSITIVE trigger_seconds (the "
+            "micro-batch interval); None or <=0 would poll as-fast-as-possible"
         )
     w = (
         rollup_stream.writeStream.format("parquet")

@@ -156,16 +156,20 @@ def test_compact_guards_and_conf_restore(spark, tmp_path):
         )
     )
 
-    # streaming-sink refusal
+    # streaming-sink refusal — for BOTH in-place rewrite ops
     io.write(e, "s")
     os.makedirs(os.path.join(io.path("s"), "_spark_metadata"))
     with pytest.raises(ValueError, match="streaming-sink"):
         io.compact("s")
+    with pytest.raises(ValueError, match="streaming-sink"):
+        io.delete_where("s", "TRUE")
 
-    # bucketed-catalog refusal
+    # bucketed-catalog refusal — for BOTH in-place rewrite ops
     io.write_bucketed(e.withColumn("turn_idx", F.lit(0)), "bt")
     with pytest.raises(ValueError, match="bucketed"):
         io.compact("bt")
+    with pytest.raises(ValueError, match="bucketed"):
+        io.delete_where("bt", "TRUE")
 
     # advisory restore: set -> restored; unset -> stays unset
     key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"

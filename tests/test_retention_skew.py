@@ -151,3 +151,11 @@ def test_ttl_expiring_every_row_keeps_table_readable(spark, tmp_path):
     assert io.read("t").count() == 0
     io.write(e, "t")  # and the table regrows on the next write
     assert io.read("t").count() == 500
+    # the regrow takes the STATIC path over the empty table, so the flat
+    # schema file cannot survive at the root next to partition dirs (a
+    # stale-schema hazard once columns evolve)
+    import os as _os
+
+    assert not any(
+        f.endswith(".parquet") for f in _os.listdir(io.path("t"))
+    )
