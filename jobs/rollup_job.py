@@ -216,6 +216,11 @@ def main() -> None:
     ap.add_argument("--no-chunked", action="store_true")
     ap.add_argument("--input-table", default=None)
     ap.add_argument("--ttl-now", default=None)
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="compact the rollup tier tables after the run (small-file "
+        "maintenance; see TableIO.compact)",
+    )
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--stats", default="full", choices=["full", "fast"])
     ap.add_argument("--shard-index", type=int, default=0)
@@ -243,6 +248,10 @@ def main() -> None:
         shard_index=args.shard_index,
         shard_count=args.shard_count,
     )
+    if args.compact:
+        io = TableIO(spark, args.workdir, n_buckets=args.buckets)
+        for tier in DEFAULT_TTLS:
+            io.compact(f"rollup_{tier}")
     summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
     summary["turns"] = summary["stages"]["ingest"]["rows"]
     summary["turns_per_sec"] = round(summary["turns"] / summary["total_wall_sec"], 1)
