@@ -1,26 +1,36 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line as the
+LAST stdout line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with a noop sink (full compute, no driver
 collect), and the whole suite runs REPS times (default 3): ``queries``
 carries per-query MEDIANS (this shared box shows up to ~40% same-commit
 run-to-run variance, so single samples cannot support regression
-judgments) and ``spread`` carries {median,min,max} per query. Each rep
-recomputes from the parquet sources (nothing is cached; the pipeline rep
-uses a fresh temp workdir) — rep 1 additionally absorbs residual
-codegen/JIT warmup, which the median then damps. The checkpointed
-pipeline runs $SPARK_GRAFT_PIPE_REPS times (default 2): its wall is
-internally amortized over 7 stages, so its measured rep-to-rep spread is
-~5% (vs ~40% on sub-second queries) and two reps keep the whole suite
-inside the <3 min budget at the r03-comparable 60k-conv size. A
-deadline gate ($SPARK_GRAFT_BENCH_BUDGET_SEC, default 165 s from process
-start) skips later reps on a slow host window instead of overrunning the
-budget — rep 1 always completes; ``reps_run`` records what happened. The
-published amortized throughput number in BENCH/BASELINE.md still comes
-from the dedicated 6.4M-turn scaling runs.
+judgments). Each rep recomputes from the parquet sources (nothing is
+cached; the pipeline rep uses a fresh temp workdir) — rep 1 additionally
+absorbs residual codegen/JIT warmup, which the median then damps.
 
-Scaling evidence lives in its own harnesses:
+Round-5 protocol fixes (VERDICT r4 items 1-2):
+
+- The checkpointed pipeline runs FIRST within each rep — it is the
+  round-over-round headline, so the deadline gate trims query reps, never
+  pipeline reps.
+- At least MIN_FULL_REPS (=2) reps ALWAYS complete, even if that overruns
+  the budget on a slow host window; only rep 3+ is deadline-gated
+  ($SPARK_GRAFT_BENCH_BUDGET_SEC, default 200 s from process start).
+  ``reps_run`` records what happened; r4's single-rep artifact cannot
+  recur.
+- The full result object (including the per-query ``spread``
+  {median,min,max} block) is written to ``BENCH/last_bench.json``; stdout
+  gets a COMPACT line (no spread) printed last, sized well under the
+  driver's 2000-char tail capture (r4's spread-bearing line overflowed it
+  and nulled ``parsed``).
+- $SPARK_GRAFT_BENCH_REPS is clamped to ≥1 (REPS=0 used to feed empty
+  sample lists into statistics.median).
+
+The published amortized throughput number in BENCH/BASELINE.md still
+comes from the dedicated 6.4M-turn scaling runs:
 ``python BENCH/run_scaling.py`` (pinned local[8] vs local[32]) and
 ``python BENCH/run_scaling_executors.py`` (1 vs 4 separate 8-core JVMs) —
 the BASELINE.md N→4N protocol; committed runs in BENCH/.
@@ -39,14 +49,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-PIPE_REPS = int(os.environ.get("SPARK_GRAFT_PIPE_REPS", "2"))
+_REPS_RAW = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+REPS = max(1, _REPS_RAW)
+if _REPS_RAW < 1:
+    print(f"bench: clamping SPARK_GRAFT_BENCH_REPS={_REPS_RAW} to 1", file=sys.stderr)
+PIPE_REPS = max(0, int(os.environ.get("SPARK_GRAFT_PIPE_REPS", "2")))
 PIPE_CONVS = int(os.environ.get("SPARK_GRAFT_PIPE_CONVS", "60000"))
-# Wall-clock budget from PROCESS start: on a slow host window (±40%
-# same-commit variance) later reps are SKIPPED rather than blowing the
-# 3-minute suite budget — rep 1 always completes, medians cover whatever
-# ran, and the JSON records how many reps actually happened.
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "165"))
+# Reps 1..MIN_FULL_REPS always complete (even past the budget on a slow
+# host window — single-sample artifacts are worse than a late bench);
+# later reps are skipped if the previous rep's observed cost would
+# overrun $SPARK_GRAFT_BENCH_BUDGET_SEC from process start.
+MIN_FULL_REPS = 2
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "200"))
 _T0 = time.perf_counter()
 
 HEADLINE = [
@@ -81,10 +95,9 @@ def _force(df) -> None:
 
 
 def run_transcript_pipeline(spark, n_convs: int = 60000, seed: int = 42):
-    # 60k convs ≈ 1.3M turns (the round-3-comparable size); the suite runs
-    # this PIPE_REPS times (default 2, capped at REPS) — see the module
-    # docstring for the budget math. In-bench turns/sec carries fixed-cost
-    # dilution at smaller sizes — compare rounds on the same PIPE_CONVS.
+    # 60k convs ≈ 1.3M turns (the round-3-comparable size). In-bench
+    # turns/sec carries fixed-cost dilution at smaller sizes — compare
+    # rounds on the same PIPE_CONVS.
     """Full engine pipeline (synth → gap-fill → treatment → tier cascade →
     Gorilla chunks), checkpointed stages, cold workdir. Returns turn count."""
     import shutil
@@ -139,12 +152,19 @@ def main() -> None:
     reps_run = 0
     qcost = pcost = 0.0  # last observed query-block / pipeline walls
     for rep in range(REPS):
-        if rep > 0:
-            # deadline gate: skip this rep if its estimated cost (last
-            # rep's observed component walls) would overrun the budget
+        if rep >= MIN_FULL_REPS:
+            # deadline gate (rep 3+ only): skip this rep if its estimated
+            # cost (last rep's observed component walls) would overrun
             est = qcost + (pcost if rep < PIPE_REPS else 0.0)
             if time.perf_counter() - _T0 + est > BUDGET_SEC:
                 break
+        # Pipeline FIRST: it is the round-over-round headline, so the
+        # budget trims query samples, never pipeline samples.
+        if rep < PIPE_REPS:
+            t0 = time.perf_counter()
+            n_turns = run_transcript_pipeline(spark, n_convs=PIPE_CONVS)
+            pcost = time.perf_counter() - t0
+            samples["transcript_pipeline"].append(round(pcost, 3))
         t0 = time.perf_counter()
         for name in HEADLINE:
             fn = q.Q[name]
@@ -152,16 +172,11 @@ def main() -> None:
             _force(fn(spark, SF_DIR))
             samples[name].append(round(time.perf_counter() - tq, 3))
         qcost = time.perf_counter() - t0
-        if rep < PIPE_REPS:  # pipeline reps are capped at REPS
-            t0 = time.perf_counter()
-            n_turns = run_transcript_pipeline(spark, n_convs=PIPE_CONVS)
-            pcost = time.perf_counter() - t0
-            samples["transcript_pipeline"].append(round(pcost, 3))
         reps_run += 1
 
     timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     spread = {
-        n: {"median": timings[n], "min": min(v), "max": max(v)}
+        n: {"median": timings[n], "min": min(v), "max": max(v), "n": len(v)}
         for n, v in samples.items()
     }
     # PIPE_REPS=0 skips the pipeline entirely (query-only runs)
@@ -169,25 +184,31 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": REPS,
-                "reps_run": reps_run,
-                "sf": float(sf),
-                "transcript_turns": n_turns,
-                "transcript_turns_per_sec": (
-                    round(n_turns / pipe_sec, 1) if pipe_sec else None
-                ),
-                "cpus": CPUS,
-            }
-        )
-    )
+    compact = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": REPS,
+        "reps_run": reps_run,
+        "sf": float(sf),
+        "transcript_turns": n_turns,
+        "transcript_turns_per_sec": (
+            round(n_turns / pipe_sec, 1) if pipe_sec else None
+        ),
+        "cpus": CPUS,
+    }
+    full = dict(compact)
+    full["spread"] = spread
+    out = Path(__file__).resolve().parent / "BENCH" / "last_bench.json"
+    try:
+        out.write_text(json.dumps(full, indent=1) + "\n")
+    except OSError as e:  # never let the artifact write kill the stdout line
+        print(f"bench: could not write {out}: {e}", file=sys.stderr)
+    # Compact line LAST on stdout: the driver tails ~2000 chars; the
+    # spread block lives only in BENCH/last_bench.json.
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -251,7 +251,13 @@ def main() -> None:
     if args.compact:
         io = TableIO(spark, args.workdir, n_buckets=args.buckets)
         for tier in DEFAULT_TTLS:
-            io.compact(f"rollup_{tier}")
+            # A tier table may be absent (partial failure, or a future
+            # --stop-after run): skip it with a message instead of letting
+            # io.compact surface a raw path-not-found AnalysisException.
+            if io._exists(f"rollup_{tier}"):
+                io.compact(f"rollup_{tier}")
+            else:
+                print(f"compact: rollup_{tier} not built, skipping", file=sys.stderr)
     summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
     summary["turns"] = summary["stages"]["ingest"]["rows"]
     summary["turns_per_sec"] = round(summary["turns"] / summary["total_wall_sec"], 1)
