@@ -23,6 +23,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from pyspark.sql import functions as F
+
 from pneuma_treatment_spark.compression.chunks import write_chunks
 from pneuma_treatment_spark.io.tableio import TableIO
 from pneuma_treatment_spark.operators.gapfill import gap_fill
@@ -56,6 +58,7 @@ def run_pipeline(
     shard_index: int = 0,
     shard_count: int = 1,
     stage_hook=None,
+    surrogate_key: bool = False,
 ) -> dict:
     """Run (or resume) the full pipeline; returns a stage→metrics summary.
 
@@ -64,6 +67,14 @@ def run_pipeline(
     after (used by the resume test to simulate a mid-job kill).
     ``stage_hook(name)``: called after each stage completes — the seam the
     bytes-per-stage instrumentation (BENCH/run_bytes.py) snapshots on.
+    ``surrogate_key``: route the filled/treated stages' shuffles through an
+    8-byte ``xxhash64(conv_id)`` surrogate instead of the conv_id string,
+    joining the string back from a per-conversation dim immediately before
+    each write — written table schemas are unchanged. A measured A/B lever
+    (BENCH/run_bytes.py --surrogate; adoption decision in
+    BENCH/BASELINE.md). The dim build fails fast on a hash collision
+    (probability ~n²/2⁶⁵ — negligible below billions of conversations;
+    past that, widen to a 128-bit surrogate).
     """
     cfg = cfg or TreatmentConfig()
     io = TableIO(spark, workdir, n_buckets=n_buckets)
@@ -83,6 +94,7 @@ def run_pipeline(
             # data and clobber overlapping p_day partitions)
             "shard_index": shard_index,
             "shard_count": shard_count,
+            "surrogate_key": surrogate_key,
         },
     )
 
@@ -111,6 +123,41 @@ def run_pipeline(
                 )
             ),
         )
+        if surrogate_key:
+            _sk = F.xxhash64("conv_id")
+
+            def conv_dim():
+                # (__sk, conv_id) — one row per conversation; fail fast on a
+                # 64-bit collision (would silently merge two conversations)
+                dim = ingest.select(
+                    _sk.alias("__sk"), "conv_id"
+                ).distinct()
+                if dim.groupBy("__sk").count().where("count > 1").limit(1).count():
+                    raise RuntimeError(
+                        "xxhash64(conv_id) collision — widen the surrogate key"
+                    )
+                return dim
+
+            def _restore(df):
+                # swap the surrogate back for the conv_id string just before
+                # the write; column order (and thus table schema) unchanged
+                cols = df.columns
+                return (
+                    df.withColumnRenamed("conv_id", "__sk")
+                    .join(conv_dim(), "__sk")
+                    .drop("__sk")
+                    .select(*cols)
+                )
+
+            def _with_sk(df, *cols):
+                return df.select(_sk.alias("conv_id"), *cols)
+        else:
+            def _restore(df):
+                return df
+
+            def _with_sk(df, *cols):
+                return df.select("conv_id", *cols)
+
         # Gap-fill on the NARROW series only and join the payload columns
         # back once: text/tool otherwise ride through the densify join plus
         # two window sorts (~3x the bytes on this bandwidth-bound stage);
@@ -118,16 +165,18 @@ def run_pipeline(
         # payloads either way.
         filled = stage(
             "filled",
-            lambda io: gap_fill(
-                ingest.select(
-                    "conv_id", "turn_idx", "role", "ts", "token_count", "is_tool_call"
-                ),
-                lerp_cols=("token_count",),
-                lerp_ts_cols=("ts",),
-            ).join(
-                ingest.select("conv_id", "turn_idx", "text", "tool"),
-                ["conv_id", "turn_idx"],
-                "left",
+            lambda io: _restore(
+                gap_fill(
+                    _with_sk(
+                        ingest, "turn_idx", "role", "ts", "token_count", "is_tool_call"
+                    ),
+                    lerp_cols=("token_count",),
+                    lerp_ts_cols=("ts",),
+                ).join(
+                    _with_sk(ingest, "turn_idx", "text", "tool"),
+                    ["conv_id", "turn_idx"],
+                    "left",
+                )
             ),
             deps=["ingest"],
         )
@@ -139,12 +188,10 @@ def run_pipeline(
         # bytes table); text/tool/role live in `filled` and join back
         # exactly on (conv_id, turn_idx) when needed. `ts` stays for the
         # p_day write clustering; `is_filled` is load-bearing semantics.
-        narrow = filled.select(
-            "conv_id", "turn_idx", "ts", "token_count", "is_filled"
-        )
+        narrow = _with_sk(filled, "turn_idx", "ts", "token_count", "is_filled")
         stage(
             "treated",
-            lambda io: treat_transcripts(narrow, cfg, chunked=chunked),
+            lambda io: _restore(treat_transcripts(narrow, cfg, chunked=chunked)),
             deps=["filled"],
         )
         m1 = stage(
@@ -225,6 +272,11 @@ def main() -> None:
     ap.add_argument("--stats", default="full", choices=["full", "fast"])
     ap.add_argument("--shard-index", type=int, default=0)
     ap.add_argument("--shard-count", type=int, default=1)
+    ap.add_argument(
+        "--surrogate", action="store_true",
+        help="route filled/treated shuffles through an 8-byte xxhash64 "
+        "conv surrogate (A/B lever; see run_pipeline docstring)",
+    )
     args = ap.parse_args()
 
     from pneuma_treatment_spark.session import get_spark
@@ -247,6 +299,7 @@ def main() -> None:
         stats=args.stats,
         shard_index=args.shard_index,
         shard_count=args.shard_count,
+        surrogate_key=args.surrogate,
     )
     if args.compact:
         io = TableIO(spark, args.workdir, n_buckets=args.buckets)

@@ -376,7 +376,9 @@ def ivf_train_centroids(
 
     Codebook lifecycle at 100 TB: the codebook is versioned metadata, not
     state — retrain offline on a fresh sample only when cell-occupancy skew
-    degrades (e.g. max/median cell size > ~8x, or nprobe recall drops on a
+    degrades (max/median cell size > ~8x or empty cells — monitored by
+    :func:`ivf_cell_stats`, which returns the retrain flag; or nprobe
+    recall drops on a
     held-out query set), then rewrite `ivf_cell` for new partitions first
     and backfill old ones lazily; queries pin the codebook version their
     partition was written with, so a retrain is never a stop-the-world
@@ -486,3 +488,43 @@ def ivf_topk(
     order = np.argsort(((_quantize(cent) - _quantize(q)) ** 2).sum(axis=1))[:nprobe]
     cand = emb_celled.where(F.col("ivf_cell").isin([int(c) for c in order]))
     return cosine_topk(cand, [float(v) for v in q], k, id_col, vec_col, fan=False)
+
+
+def ivf_cell_stats(
+    emb_celled: DataFrame, n_cells: int | None = None, skew_factor: float = 8.0
+) -> dict:
+    """Occupancy-skew monitor for the IVF retrain trigger documented in
+    :func:`ivf_train_centroids` (codebook lifecycle): returns per-cell
+    occupancy stats and a boolean ``retrain`` flag that fires when
+    ``max/median > skew_factor`` (default 8×, the documented policy) or when
+    cells have gone empty (both symptoms of embedding-distribution drift
+    away from the codebook).
+
+    One distributed count per cell; only the ≤ ``n_cells`` per-cell counts
+    reach the driver (the codebook is tiny by construction), so this is
+    safe to run as a lightweight scheduled health check at any table size.
+    """
+    counts = sorted(
+        r["n"]
+        for r in emb_celled.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    if not counts:
+        return {
+            "n_cells_occupied": 0, "n_cells_empty": n_cells or 0,
+            "min": 0, "median": 0, "max": 0, "skew": None, "retrain": False,
+        }
+    mid = len(counts) // 2
+    median = (
+        counts[mid] if len(counts) % 2 else (counts[mid - 1] + counts[mid]) / 2
+    )
+    skew = counts[-1] / median if median else float("inf")
+    empty = (n_cells - len(counts)) if n_cells is not None else 0
+    return {
+        "n_cells_occupied": len(counts),
+        "n_cells_empty": empty,
+        "min": counts[0],
+        "median": median,
+        "max": counts[-1],
+        "skew": round(skew, 3),
+        "retrain": bool(skew > skew_factor or empty > 0),
+    }

@@ -67,6 +67,41 @@ def estimate_states(
     return df.withColumn("state", state)
 
 
+def thresholds_kmeans(
+    df: DataFrame,
+    value_col: str = "token_rate",
+    k: int = 3,
+    seed: int = 42,
+    max_iter: int = 40,
+) -> tuple[list[float], list[float]]:
+    """A14 — the reference's actual k-means-derived state thresholds
+    (``/root/reference/test_clustering.py:40-51``, ``聚类功能说明.md``):
+    1-D k-means over the value column, thresholds = midpoints of adjacent
+    SORTED cluster centers. With ``k=3`` the returned thresholds are
+    ``[low, high]``, directly usable by :func:`estimate_states`.
+
+    Distributed: ``pyspark.ml.clustering.KMeans`` (seeded k-means||) over a
+    single-component vector column — no collect, scales to any table size.
+    Seeded runs are reproducible on a fixed cluster layout, but k-means
+    iteration order is not bit-stable across partitionings, so the
+    deterministic quantile path (``quantile_bins`` / the fixed low/high
+    defaults) remains the oracle-facing surface; this is the opt-in
+    semantic twin of the reference's sklearn call.
+
+    Returns ``(centers_sorted, thresholds)``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.where(F.col(value_col).isNotNull()).select(
+        array_to_vector(F.array(F.col(value_col).cast("double"))).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    centers = sorted(float(c[0]) for c in model.clusterCenters())
+    thresholds = [(a + b) / 2 for a, b in zip(centers, centers[1:])]
+    return centers, thresholds
+
+
 def simplified(state: Column) -> Column:
     """6→3 class map (23stateFscore.py:47-66): FREE, CONGESTED, QUEUED."""
     return (

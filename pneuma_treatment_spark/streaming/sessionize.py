@@ -14,6 +14,13 @@ normal shape for an append-only ingest log; NB FileStreamSource orders
 batches by file modification time, with ties broken arbitrarily — a bulk
 write that stamps identical mtimes can violate this). Out-of-order sources
 need a watermark + buffer stage in front, or ``session_window`` aggregation.
+
+In ``close_idle`` (watermarked) mode, PRE-WATERMARK rows are dropped inside
+the state function: Spark does not filter late input for
+``applyInPandasWithState`` (unlike windowed aggregations, late-data
+handling is the operator's responsibility), and an unfiltered late row
+would both corrupt session state and set an invalid pre-watermark timeout.
+Tested by ``test_sessionize_drops_pre_watermark_events``.
 """
 
 from __future__ import annotations
@@ -93,6 +100,13 @@ def sessionize_stream(
         else:
             sess_id, start_us, last_us, n_turns = 0, None, None, 0
 
+        # applyInPandasWithState does NOT filter late input against the
+        # watermark (unlike windowed aggs — dropping late rows is the state
+        # function's job): a pre-watermark event would regress last_us and
+        # make the event-time timeout below invalid (the engine rejects
+        # INVALID_TIMEOUT_TIMESTAMP). Enforce the documented drop rule here.
+        wm_ms = state.getCurrentWatermarkMs() if close_idle else 0
+
         closed: list[dict[str, Any]] = []
         # the grouped iterator yields this batch's rows in arbitrary
         # post-shuffle chunk order — materialize and sort the WHOLE batch
@@ -106,6 +120,7 @@ def sessionize_stream(
                 .astype("int64")
                 .sort_values()
             )
+            ts_all = ts_all[ts_all >= wm_ms * 1000]
             for t in ts_all:
                 t = int(t)
                 if start_us is None:
@@ -125,10 +140,32 @@ def sessionize_stream(
                 else:
                     last_us = max(last_us, t)
                     n_turns += 1
-        state.update((sess_id, start_us, last_us, n_turns))
-        if close_idle and last_us is not None:
-            # close once the watermark passes the open session's end + gap
-            state.setTimeoutTimestamp(last_us // 1000 + gap_sec * 1000)
+        timeout_ms = (
+            last_us // 1000 + gap_sec * 1000 if last_us is not None else None
+        )
+        if close_idle and timeout_ms is not None and timeout_ms <= wm_ms:
+            # The open session already expired relative to the current
+            # watermark (its group got a data call this batch — e.g. a
+            # dropped late row — so the hasTimedOut path won't fire for
+            # it). Setting a pre-watermark timeout is rejected by the
+            # engine; the timeout would fire immediately anyway, so close
+            # the session now and drop the state.
+            closed.append(
+                {
+                    "conv_id": conv_id,
+                    "session_id": sess_id,
+                    "start_us": start_us,
+                    "end_us": last_us,
+                    "n_turns": n_turns,
+                }
+            )
+            if state.exists:
+                state.remove()
+        else:
+            state.update((sess_id, start_us, last_us, n_turns))
+            if close_idle and timeout_ms is not None:
+                # close once the watermark passes the open session's end + gap
+                state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
 
     src = stream.withWatermark("ts", watermark_delay) if close_idle else stream

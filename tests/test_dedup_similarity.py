@@ -214,6 +214,37 @@ def test_ivf_topk_recall(emb):
     assert len(allp & ({0} | brute)) >= 9
 
 
+def test_ivf_cell_stats_skew_monitor(spark):
+    """The documented IVF retrain trigger (max/median > 8×, or empty cells)
+    as a measured flag, not prose — VERDICT r4 item 5."""
+    from pneuma_treatment_spark.operators.similarity import ivf_cell_stats
+
+    def celled(counts):
+        rows = [(i, c) for c, n in enumerate(counts) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, ivf_cell int")
+
+    # balanced occupancy: healthy, no retrain
+    ok = ivf_cell_stats(celled([10, 12, 9, 11]), n_cells=4)
+    assert ok["retrain"] is False and ok["n_cells_empty"] == 0
+    assert ok["median"] == 10.5 and ok["max"] == 12 and ok["skew"] < 2
+
+    # deliberately skewed: one hot cell 9× the median fires the flag
+    hot = ivf_cell_stats(celled([90, 10, 10]), n_cells=3)
+    assert hot["retrain"] is True and hot["skew"] == 9.0 and hot["max"] == 90
+
+    # empty cells (codebook drift) fire it even without hot-cell skew
+    drift = ivf_cell_stats(celled([10, 10, 10]), n_cells=5)
+    assert drift["retrain"] is True and drift["n_cells_empty"] == 2
+
+    # exactly at the threshold does NOT fire (policy is strictly greater)
+    edge = ivf_cell_stats(celled([80, 10, 10]), n_cells=3)
+    assert edge["skew"] == 8.0 and edge["retrain"] is False
+
+    # empty table: inert result, no division by zero
+    empty = ivf_cell_stats(celled([]), n_cells=4)
+    assert empty["retrain"] is False and empty["n_cells_occupied"] == 0
+
+
 def test_auto_band_planes_rule():
     assert similarity.auto_band_planes(100) == 4          # floor
     assert similarity.auto_band_planes(1 << 10, 64) == 4

@@ -187,3 +187,29 @@ def test_compact_guards_and_conf_restore(spark, tmp_path):
     assert not any(
         d.startswith("p_day=") for d in os.listdir(io.path("flat"))
     )
+
+
+def test_surrogate_key_pipeline_equivalence(spark, workdir):
+    """surrogate_key=True (8-byte xxhash64 conv key through filled/treated
+    shuffles, string restored pre-write) must produce IDENTICAL tables to
+    the string-keyed pipeline — schema, rows, and values (text invariant
+    included)."""
+    run_pipeline(spark, workdir, **ARGS)
+    sur_dir = workdir + "_sur"
+    run_pipeline(spark, sur_dir, **ARGS, surrogate_key=True)
+
+    io_a, io_b = TableIO(spark, workdir), TableIO(spark, sur_dir)
+    for table, keys in (
+        ("filled", ["conv_id", "turn_idx"]),
+        ("treated", ["conv_id", "turn_idx"]),
+        ("rollup_1d", ["conv_id", "bucket_ts"]),
+    ):
+        a = io_a.read(table).toPandas()
+        b = io_b.read(table).toPandas()
+        assert sorted(a.columns) == sorted(b.columns), table
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(keys).reset_index(drop=True)
+        b = b[cols].sort_values(keys).reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)

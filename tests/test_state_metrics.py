@@ -21,6 +21,7 @@ from pneuma_treatment_spark.operators.state import (
     QUEUED,
     SATURATED,
     estimate_states,
+    thresholds_kmeans,
     transition_events,
 )
 
@@ -41,6 +42,37 @@ def test_estimate_states_thresholds(spark):
     assert out[1] == QUEUED           # < low
     assert out[2] == FREE_FLOW        # null → FREE (22stateEstimate.py:97-99)
     assert out[5] == SATURATED        # flat mid-band → SATURATED
+
+
+def test_thresholds_kmeans_recovers_regimes(spark):
+    """A14 k-means option (reference test_clustering.py:40-51): the
+    reference-style seeded 3-regime fixture — N(30,3) free flow, N(15,3)
+    saturated, N(3,1) stopped — must yield midpoint thresholds that
+    separate the regimes, with the per-regime classification agreeing with
+    ground truth for ≥95% of points."""
+    rng = np.random.default_rng(42)
+    vals = np.concatenate(
+        [
+            np.clip(rng.normal(30, 3, 300), 0, None),
+            np.clip(rng.normal(15, 3, 300), 0, None),
+            np.clip(rng.normal(3, 1, 300), 0, None),
+        ]
+    )
+    truth = np.repeat([2, 1, 0], 300)  # regime index, high→low
+    rows = [
+        ("c1", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_ts timestamp, token_rate double"
+    )
+    centers, (low, high) = thresholds_kmeans(df, "token_rate", k=3, seed=42)
+    assert len(centers) == 3 and centers == sorted(centers)
+    # centers land on the regime means, thresholds on the midpoints
+    assert abs(centers[0] - 3) < 2 and abs(centers[1] - 15) < 3 and abs(centers[2] - 30) < 3
+    assert centers[0] < low < centers[1] < high < centers[2]
+    pred = np.where(vals < low, 0, np.where(vals < high, 1, 2))
+    assert (pred == truth).mean() >= 0.95
 
 
 def test_estimate_states_slope_voting(spark):

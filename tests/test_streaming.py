@@ -182,6 +182,92 @@ def test_sessionize_idle_timeout_closes_sessions(spark, tmp_path):
     assert c1.iloc[0]["end_us"] == base_us + 3 * 60_000_000
 
 
+def test_sessionize_drops_pre_watermark_events(spark, tmp_path):
+    """Late/out-of-order micro-batches (VERDICT r4 item 6): batch 3 carries
+    a PRE-WATERMARK event for a conversation whose session already closed by
+    event-time timeout — the event must be DROPPED (watermark_delay '0
+    seconds'), not reopen state, and the emitted set must equal the batch
+    twin on the surviving rows under the timeout rule
+    (emitted ⇔ closed-by-successor OR end + gap ≤ final watermark)."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from pneuma_treatment_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mins(m):
+        return base + dt.timedelta(minutes=m)
+
+    batches = [
+        # b1: c1 talks 4 turns then goes silent; c2 appears once
+        [("c1", mins(m)) for m in range(4)] + [("c2", mins(0))],
+        # b2: c2 alone advances the watermark to minute 40
+        [("c2", mins(30)), ("c2", mins(40))],
+        # b3: c1 minute-5 event is BEHIND the watermark (40) → must drop;
+        # c2 minute-60 advances time further
+        [("c1", mins(5)), ("c2", mins(60))],
+    ]
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/stage{i}")
+        import glob as _glob
+        import shutil as _sh
+
+        _sh.move(_glob.glob(f"{src}/stage{i}/part-*.parquet")[0], f"{src}/{i:03d}.parquet")
+        _sh.rmtree(f"{src}/stage{i}")
+        os.utime(f"{src}/{i:03d}.parquet", (now - 300 + i * 30, now - 300 + i * 30))
+
+    stream = spark.readStream.schema("conv_id string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    gap_sec = 600
+    q = (
+        sessionize_stream(stream, gap_sec=gap_sec, close_idle=True)
+        .writeStream.format("memory").queryName("late_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3  # the staged batches really ran separately
+    got = spark.table("late_sessions").toPandas()
+
+    # c1: exactly ONE session, 4 turns — the late minute-5 event neither
+    # extended it (n_turns=5) nor opened a fresh session after timeout
+    c1 = got[got.conv_id == "c1"]
+    assert len(c1) == 1 and c1.iloc[0]["n_turns"] == 4
+    base_us = int(base.timestamp()) * 1_000_000  # same formula as the idle test
+    assert c1.iloc[0]["end_us"] == base_us + 3 * 60_000_000
+
+    # batch twin over the SURVIVING rows, filtered by the timeout rule
+    surviving = [r for b in batches for r in b if r != ("c1", mins(5))]
+    want_all = sessionize_batch(
+        spark.createDataFrame(surviving, "conv_id string, ts timestamp"),
+        gap_sec=gap_sec,
+    ).toPandas()
+    final_wm_us = base_us + 60 * 60_000_000  # max event time, delay 0
+    import pandas as pd
+
+    nxt = want_all.sort_values(["conv_id", "session_id"]).groupby("conv_id")[
+        "session_id"
+    ].transform("max")
+    closed_by_successor = want_all["session_id"] < nxt
+    timed_out = want_all["end_us"] + gap_sec * 1_000_000 <= final_wm_us
+    want = want_all[closed_by_successor | timed_out]
+    cols = ["conv_id", "session_id", "start_us", "end_us", "n_turns"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(["conv_id", "session_id"]).reset_index(drop=True),
+        want[cols].sort_values(["conv_id", "session_id"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_stream_tumbling_rollup_closed_window_rule(spark, tmp_path):
     """The generic event-stream rollup emits exactly the windows whose end
     precedes (ms-floored max event time − delay) — the rule the
