@@ -30,7 +30,17 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
-def run_once(cpus: int, n_convs: int, mega: int, seed: int, pin: bool) -> dict:
+def cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies — hypervisor steal is this shared-host VM's
+    dominant variance source; see run_scaling_executors.cpu_ticks."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return vals[7] if len(vals) > 7 else 0, sum(vals)
+
+
+def run_once(
+    cpus: int, n_convs: int, mega: int, seed: int, pin: bool, compact: bool = False
+) -> dict:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     wd = tempfile.mkdtemp(prefix=f"scale_{cpus}_", dir=base)
     shuffle_dir = tempfile.mkdtemp(prefix=f"scale_shuffle_{cpus}_", dir=base)
@@ -46,19 +56,27 @@ def run_once(cpus: int, n_convs: int, mega: int, seed: int, pin: bool) -> dict:
         "--buckets", "8",
         "--stats", "fast",
     ]
+    if compact:
+        cmd.append("--compact")
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     try:
+        ticks0 = cpu_ticks()
         t0 = time.perf_counter()
         proc = subprocess.run(
             cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, env=env
         )
         wall = time.perf_counter() - t0
+        ticks1 = cpu_ticks()
         last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         summary = json.loads(last)
         summary["proc_wall_sec"] = round(wall, 1)
         summary["cpus"] = cpus
         summary["pinned"] = pin
+        dt = ticks1[1] - ticks0[1]
+        summary["steal_pct"] = (
+            round(100.0 * (ticks1[0] - ticks0[0]) / dt, 2) if dt else 0.0
+        )
         return summary
     finally:
         shutil.rmtree(wd, ignore_errors=True)
@@ -72,13 +90,24 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
     ap.add_argument("--out", default=str(REPO / "BENCH" / "BASELINE.md"))
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="run tier compaction after each pipeline (measures the ops "
+        "path, not just the build path; wall includes the compaction)",
+    )
     args = ap.parse_args()
 
     lo, hi = args.levels
     n_hw = os.cpu_count() or hi
     runs = {
-        lo: run_once(lo, args.n_convs, args.mega_turns, args.seed, pin=True),
-        hi: run_once(hi, args.n_convs, args.mega_turns, args.seed, pin=(hi < n_hw)),
+        lo: run_once(
+            lo, args.n_convs, args.mega_turns, args.seed, pin=True,
+            compact=args.compact,
+        ),
+        hi: run_once(
+            hi, args.n_convs, args.mega_turns, args.seed, pin=(hi < n_hw),
+            compact=args.compact,
+        ),
     }
     t_lo, t_hi = runs[lo]["total_wall_sec"], runs[hi]["total_wall_sec"]
     tp_lo, tp_hi = runs[lo]["turns_per_sec"], runs[hi]["turns_per_sec"]
@@ -96,16 +125,22 @@ def main() -> None:
         "on a real deployment; a single shared disk is a local-mode artifact).",
         f"Input: {args.n_convs} conversations (~{runs[lo]['turns']} turns, seed {args.seed},",
         f"mega-conversation of {args.mega_turns} turns exercising the salted/chunked skew path).",
-        "",
-        "| parallelism | pipeline wall (s) | turns/sec | per-stage (s) |",
-        "|---|---|---|---|",
+        *(
+            ["Tier COMPACTION runs after each pipeline (--compact): the wall "
+             "includes the ops path.", ""]
+            if args.compact
+            else [""]
+        ),
+        "| parallelism | pipeline wall (s) | turns/sec | host steal % | per-stage (s) |",
+        "|---|---|---|---|---|",
     ]
     for p in (lo, hi):
         st = runs[p]["stages"]
         per = ", ".join(f"{k}={v['wall_sec']}" for k, v in st.items())
         lines.append(
             f"| local[{p}]{' (pinned)' if runs[p]['pinned'] else ''} | "
-            f"{runs[p]['total_wall_sec']} | {runs[p]['turns_per_sec']} | {per} |"
+            f"{runs[p]['total_wall_sec']} | {runs[p]['turns_per_sec']} | "
+            f"{runs[p]['steal_pct']} | {per} |"
         )
     lines += [
         "",
@@ -118,7 +153,8 @@ def main() -> None:
     ]
     Path(args.out).write_text("\n".join(lines))
     print(json.dumps({"efficiency": round(eff, 3), "t_lo": t_lo, "t_hi": t_hi,
-                      "tp_lo": tp_lo, "tp_hi": tp_hi}))
+                      "tp_lo": tp_lo, "tp_hi": tp_hi,
+                      "steal_pct": {p: runs[p]["steal_pct"] for p in (lo, hi)}}))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,24 @@ REPO = Path(__file__).resolve().parents[1]
 CORES_PER_EXEC = 8
 
 
+def cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat. This box is a VM on a shared
+    host: hypervisor STEAL during a run is the dominant variance source
+    (measured collapses of concurrent 32-core-demand runs while 8-core runs
+    barely moved), so every scaling artifact records it — a run with
+    steal_pct more than a few % is a co-tenant artifact, not engine
+    behavior; rerun it."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return vals[7] if len(vals) > 7 else 0, sum(vals)
+
+
+def steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt else 0.0
+
+
 def _cmd(cpu_lo: int, wd: str, n_convs: int, mega: int, seed: int, shard: int, nshards: int):
     return [
         "taskset", "-c", f"{cpu_lo}-{cpu_lo + CORES_PER_EXEC - 1}",
@@ -52,6 +70,7 @@ def _cmd(cpu_lo: int, wd: str, n_convs: int, mega: int, seed: int, shard: int, n
 def run_level(n_exec: int, n_convs: int, mega: int, seed: int) -> dict:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     dirs, procs = [], []
+    ticks0 = cpu_ticks()
     t0 = time.perf_counter()
     for i in range(n_exec):
         wd = tempfile.mkdtemp(prefix=f"exec{n_exec}_{i}_", dir=base)
@@ -67,6 +86,7 @@ def run_level(n_exec: int, n_convs: int, mega: int, seed: int) -> dict:
         )
     outs = [p.communicate(timeout=3600)[0] for p in procs]
     wall = time.perf_counter() - t0
+    steal = steal_pct(ticks0, cpu_ticks())
     turns = 0
     for o in outs:
         last = [l for l in o.strip().splitlines() if l.startswith("{")][-1]
@@ -74,7 +94,7 @@ def run_level(n_exec: int, n_convs: int, mega: int, seed: int) -> dict:
     for d in dirs:
         shutil.rmtree(d, ignore_errors=True)
     return {"n_exec": n_exec, "wall_sec": round(wall, 2), "turns": turns,
-            "turns_per_sec": round(turns / wall, 1)}
+            "turns_per_sec": round(turns / wall, 1), "steal_pct": steal}
 
 
 def main() -> None:
