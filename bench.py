@@ -28,6 +28,12 @@ Round-5 protocol fixes (VERDICT r4 items 1-2):
   and nulled ``parsed``).
 - $SPARK_GRAFT_BENCH_REPS is clamped to ≥1 (REPS=0 used to feed empty
   sample lists into statistics.median).
+- The compact line carries host-health context: ``host_steal_pct`` over
+  the whole bench and the raw ``pipe_reps_sec`` samples plus
+  ``transcript_turns_per_sec_best`` — this VM's shared host shows erratic
+  bandwidth/steal windows (BENCH/scaling_r05.md; two consecutive pipeline
+  reps have measured 49.5 s and 142.2 s on the SAME engine), so a slow
+  bench must be attributable to the host in the artifact itself.
 
 The published amortized throughput number in BENCH/BASELINE.md still
 comes from the dedicated 6.4M-turn scaling runs:
@@ -62,6 +68,18 @@ PIPE_CONVS = int(os.environ.get("SPARK_GRAFT_PIPE_CONVS", "60000"))
 MIN_FULL_REPS = 2
 BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "200"))
 _T0 = time.perf_counter()
+
+
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies — this VM's host shows erratic bandwidth/steal
+    windows (BENCH/scaling_r05.md); the compact line reports steal_pct so a
+    slow bench is attributable to the host, not read as an engine delta."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except OSError:
+        return 0, 0
 
 HEADLINE = [
     "rollup_1m",
@@ -120,6 +138,7 @@ def main() -> None:
     from pneuma_treatment_spark import queries as q
     from pneuma_treatment_spark.session import get_spark
 
+    ticks0 = _cpu_ticks()
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -184,6 +203,10 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    ticks1 = _cpu_ticks()
+    dt = ticks1[1] - ticks0[1]
+    steal = round(100.0 * (ticks1[0] - ticks0[0]) / dt, 2) if dt else 0.0
+    pipe_samples = samples.get("transcript_pipeline", [])
     compact = {
         "metric": "headline_suite_total",
         "value": total,
@@ -196,6 +219,14 @@ def main() -> None:
         "transcript_turns_per_sec": (
             round(n_turns / pipe_sec, 1) if pipe_sec else None
         ),
+        # best rep = least host-contaminated sample (contention is
+        # one-sided on this shared-host VM); compare rounds on the median
+        # AND sanity-check the best against the documented envelope
+        "transcript_turns_per_sec_best": (
+            round(n_turns / min(pipe_samples), 1) if pipe_samples else None
+        ),
+        "pipe_reps_sec": pipe_samples,
+        "host_steal_pct": steal,
         "cpus": CPUS,
     }
     full = dict(compact)
