@@ -5,7 +5,8 @@ The engine is memory-bandwidth-bound at >=8 cores (BENCH/BASELINE.md), so
 EVERY scaling claim needs this control measured in the same session: the
 pipeline's N->4N efficiency can never exceed the triad's, and a collapsed
 or erratic wide-width triad (observed round 5: 32-core aggregate swinging
-1.2-12.2 GB/s across minutes while 8-core held 5.5-29) means the host —
+1.2-12.2 GB/s across minutes while 8-core held 5.5-29 — figures from the
+pre-fix unfused instrument; the RATIOS are the signal) means the host —
 a VM on shared hardware — is the bottleneck and engine numbers from that
 window are not comparable across rounds. Run interleaved (``--reps``)
 and report the RANGE.
@@ -31,13 +32,23 @@ def _triad(core: int, q, dur: float) -> None:
     os.sched_setaffinity(0, {core})
     a = np.random.rand(N)
     b = np.random.rand(N)
+    c = np.empty_like(a)
     t0 = time.perf_counter()
     reps = 0
     while time.perf_counter() - t0 < dur:
-        c = a + 1.7 * b  # noqa: F841 — 2 reads + 1 write per element
+        # out= kernels: no temporaries, no per-rep allocation. Credited
+        # traffic per element: read b + write c (multiply), read a +
+        # read c + write c (add) = 5 × 8 B (write-allocate RFO ignored,
+        # as in STREAM convention). NB rounds 1-4 used the unfused
+        # `c = a + 1.7*b` (a 320 MB temporary per rep) and credited only
+        # 3 ops — those absolute GB/s under-report real traffic ~2× and
+        # are NOT comparable to this instrument; within-session ratios
+        # (the collapse forensics) are unaffected.
+        np.multiply(b, 1.7, out=c)
+        np.add(a, c, out=c)
         reps += 1
     dt = time.perf_counter() - t0
-    q.put(reps * 3 * N * 8 / dt / 1e9)
+    q.put(reps * 5 * N * 8 / dt / 1e9)
 
 
 def measure(width: int, dur: float = 10.0) -> float:

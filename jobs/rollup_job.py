@@ -109,6 +109,7 @@ def run_pipeline(
             raise _StopPipeline(name)
         return df
 
+    _dim_cache: list = []  # persisted surrogate conv dim, released on exit
     try:
         first = shard_index * n_convs // shard_count
         cnt = (shard_index + 1) * n_convs // shard_count - first
@@ -127,16 +128,22 @@ def run_pipeline(
             _sk = F.xxhash64("conv_id")
 
             def conv_dim():
-                # (__sk, conv_id) — one row per conversation; fail fast on a
-                # 64-bit collision (would silently merge two conversations)
-                dim = ingest.select(
-                    _sk.alias("__sk"), "conv_id"
-                ).distinct()
-                if dim.groupBy("__sk").count().where("count > 1").limit(1).count():
-                    raise RuntimeError(
-                        "xxhash64(conv_id) collision — widen the surrogate key"
-                    )
-                return dim
+                # (__sk, conv_id) — one row per conversation; built,
+                # collision-checked, and persisted ONCE (it is joined in
+                # both the filled and treated builds — rebuilding it per
+                # stage ran redundant distinct+count jobs inside exactly
+                # the stages the bytes A/B measures). Fails fast on a
+                # 64-bit collision (would silently merge two conversations).
+                if not _dim_cache:
+                    dim = ingest.select(
+                        _sk.alias("__sk"), "conv_id"
+                    ).distinct().persist()
+                    if dim.groupBy("__sk").count().where("count > 1").limit(1).count():
+                        raise RuntimeError(
+                            "xxhash64(conv_id) collision — widen the surrogate key"
+                        )
+                    _dim_cache.append(dim)
+                return _dim_cache[0]
 
             def _restore(df):
                 # swap the surrogate back for the conv_id string just before
@@ -234,6 +241,9 @@ def run_pipeline(
                 io.delete_where(f"rollup_{tier}", ttl_sql_predicate(days, ttl_now))
     except _StopPipeline:
         pass
+    finally:
+        for d in _dim_cache:
+            d.unpersist()
 
     return {
         "stages": {

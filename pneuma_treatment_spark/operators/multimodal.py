@@ -133,6 +133,10 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         tokens.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval, then raster
     w, h, maxval = tokens
+    if not (0 < maxval <= 255):
+        # 2-byte-per-sample PPMs (maxval > 255) would silently misparse as
+        # uint8 — refuse so the caller falls back visibly instead
+        raise ValueError(f"unsupported PPM maxval {maxval}")
     pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return w, h, maxval, pixels
 
@@ -170,26 +174,35 @@ def stdlib_decoder(kind: str, payload: bytes, dim: int) -> np.ndarray:
     - PPM:  [width, height, maxval, mean_r, mean_g, mean_b, hist8...]
     - WAV:  [duration_ms, framerate, n_channels, mean, rms, hist8...]
     """
-    if payload[:2] == b"P6":
-        w, h, maxval, px = _parse_ppm(payload)
-        rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
-        hist = np.bincount(px, minlength=256).reshape(8, 32).sum(axis=1)
-        head = [w, h, maxval, *rgb, *hist]
-    elif payload[:4] == b"RIFF":
-        dur_ms, rate, nch, samples = _parse_wav(payload)
-        s = samples.astype(np.float64)
-        hist = np.bincount(
-            ((s - s.min()) * 7.999 / max(1e-9, np.ptp(s))).astype(np.int64)
-            if s.size else np.zeros(0, np.int64),
-            minlength=8,
-        )[:8]
-        head = [
-            dur_ms, rate, nch,
-            s.mean() if s.size else 0.0,
-            float(np.sqrt((s * s).mean())) if s.size else 0.0,
-            *hist,
-        ]
-    else:
+    try:
+        if payload[:2] == b"P6":
+            w, h, maxval, px = _parse_ppm(payload)
+            if px.size < w * h * 3:
+                raise ValueError("truncated PPM raster")
+            rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
+            hist = np.bincount(px, minlength=256).reshape(8, 32).sum(axis=1)
+            head = [w, h, maxval, *rgb, *hist]
+        elif payload[:4] == b"RIFF":
+            dur_ms, rate, nch, samples = _parse_wav(payload)
+            s = samples.astype(np.float64)
+            hist = np.bincount(
+                ((s - s.min()) * 7.999 / max(1e-9, np.ptp(s))).astype(np.int64)
+                if s.size else np.zeros(0, np.int64),
+                minlength=8,
+            )[:8]
+            head = [
+                dur_ms, rate, nch,
+                s.mean() if s.size else 0.0,
+                float(np.sqrt((s * s).mean())) if s.size else 0.0,
+                *hist,
+            ]
+        else:
+            return _fake_decode(kind, payload, dim)
+    except Exception:
+        # corrupt/truncated/unsupported payload (bad raster, zero frame
+        # rate, 16-bit PPM, malformed RIFF chunk): one bad row must not
+        # fail the whole job — fall back to the deterministic fake, as for
+        # unrecognized formats
         return _fake_decode(kind, payload, dim)
     out = np.zeros(dim, dtype=np.float32)
     out[: min(dim, len(head))] = np.asarray(head[:dim], dtype=np.float32)

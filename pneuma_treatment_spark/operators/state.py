@@ -93,8 +93,10 @@ def thresholds_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.where(F.col(value_col).isNotNull()).select(
-        array_to_vector(F.array(F.col(value_col).cast("double"))).alias("features")
+    v = F.col(value_col).cast("double")
+    # NaN passes isNotNull and would silently poison the centers/thresholds
+    feats = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        array_to_vector(F.array(v)).alias("features")
     )
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     centers = sorted(float(c[0]) for c in model.clusterCenters())

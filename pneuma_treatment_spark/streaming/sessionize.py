@@ -120,7 +120,8 @@ def sessionize_stream(
                 .astype("int64")
                 .sort_values()
             )
-            ts_all = ts_all[ts_all >= wm_ms * 1000]
+            if close_idle:
+                ts_all = ts_all[ts_all >= wm_ms * 1000]
             for t in ts_all:
                 t = int(t)
                 if start_us is None:
@@ -143,7 +144,15 @@ def sessionize_stream(
         timeout_ms = (
             last_us // 1000 + gap_sec * 1000 if last_us is not None else None
         )
-        if close_idle and timeout_ms is not None and timeout_ms <= wm_ms:
+        if last_us is None:
+            # nothing to track (e.g. every row of a straggler batch was
+            # dropped as pre-watermark and no session is open): do NOT
+            # create an empty state row — it would carry no timeout, so
+            # EventTimeTimeout could never evict it and idle-key state
+            # would grow without bound on a large ingest
+            if state.exists:
+                state.remove()
+        elif close_idle and timeout_ms <= wm_ms:
             # The open session already expired relative to the current
             # watermark (its group got a data call this batch — e.g. a
             # dropped late row — so the hasTimedOut path won't fire for

@@ -59,13 +59,21 @@ def test_stdlib_decoder_seam(spark):
         (3, "audio", "audio/wav", None, None, 120, _make_wav(120, 16000, 4)),
         # undecodable kind: seam must fall back to the fake, not crash
         (4, "video", "video/mp4", 64, 48, 1000, b"\x00\x01\x02\x03" * 64),
+        # CORRUPT payloads with recognized magic: one bad row must not
+        # fail the job — truncated P6 raster and a bogus RIFF body both
+        # fall back to the fake
+        (5, "image", "image/x-portable-pixmap", 9, 9, None,
+         b"P6\n9 9\n255\n" + b"\x01" * 10),
+        (6, "audio", "audio/wav", None, None, 100, b"RIFF" + b"\x00" * 40),
     ]
     media = spark.createDataFrame(cases, MEDIA_SCHEMA)
     out = (
         extract_features(media, dim=16, decoder=stdlib_decoder)
         .toPandas().sort_values("media_id").reset_index(drop=True)
     )
-    assert len(out) == 5 and all(len(v) == 16 for v in out["feature"])
+    assert len(out) == 7 and all(len(v) == 16 for v in out["feature"])
+    for i in (5, 6):  # corrupt rows produced the unit-norm fake feature
+        assert np.isclose(np.linalg.norm(out.loc[i, "feature"]), 1.0, atol=1e-5)
     # PPM: feature[0:2] are the DECODED width/height from the P6 header
     for i, (w, h) in ((0, (37, 21)), (1, (5, 9))):
         f = out.loc[i, "feature"]

@@ -236,6 +236,20 @@ def test_sessionize_drops_pre_watermark_events(spark, tmp_path):
     )
     q.awaitTermination()
     assert len(q.recentProgress) >= 3  # the staged batches really ran separately
+    # state-leak regression: after the timeout closed c1 and its straggler
+    # was dropped, only c2's open session may remain in the state store —
+    # a dropped-to-empty batch must NOT write a timeout-less state row
+    # (it would never be evicted)
+    import json as _json
+
+    progs = [
+        _json.loads(p if isinstance(p, str) else p.json)
+        for p in q.recentProgress
+    ]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"] for p in progs if p.get("stateOperators")
+    ]
+    assert state_rows and state_rows[-1] == 1
     got = spark.table("late_sessions").toPandas()
 
     # c1: exactly ONE session, 4 turns — the late minute-5 event neither
