@@ -34,7 +34,12 @@ from pneuma_treatment_spark.operators.rollup import (
     rollup_raw,
     with_turn_metrics,
 )
-from pneuma_treatment_spark.operators.treatment import TreatmentConfig, treat_transcripts
+from pneuma_treatment_spark.operators.treatment import (
+    TreatmentConfig,
+    conv_anomaly_flags,
+    raw_anomaly_col,
+    treat_transcripts,
+)
 from pneuma_treatment_spark.plans.lineage import PipelineRunner
 from pneuma_treatment_spark.synth import generate_transcripts
 
@@ -169,7 +174,10 @@ def run_pipeline(
         # back once: text/tool otherwise ride through the densify join plus
         # two window sorts (~3x the bytes on this bandwidth-bound stage);
         # the join-back moves them exactly once, and filled rows get null
-        # payloads either way.
+        # payloads either way. raw_anomaly rides along for free — the SQL
+        # mask reuses this stage's conv-partitioned windows — so the treated
+        # stage's conv_has_anomaly flags are a plain scan+aggregate instead
+        # of a full-frame window exchange (see treat_transcripts).
         filled = stage(
             "filled",
             lambda io: _restore(
@@ -183,7 +191,7 @@ def run_pipeline(
                     _with_sk(ingest, "turn_idx", "text", "tool"),
                     ["conv_id", "turn_idx"],
                     "left",
-                )
+                ).withColumn("raw_anomaly", raw_anomaly_col(cfg))
             ),
             deps=["ingest"],
         )
@@ -196,9 +204,15 @@ def run_pipeline(
         # exactly on (conv_id, turn_idx) when needed. `ts` stays for the
         # p_day write clustering; `is_filled` is load-bearing semantics.
         narrow = _with_sk(filled, "turn_idx", "ts", "token_count", "is_filled")
+        # conv flags from the materialized filled table: map-side-combined
+        # aggregate over the stored raw_anomaly column — no window, no
+        # full-frame exchange, broadcast into the chunked stage-D join
+        flags = conv_anomaly_flags(_with_sk(filled, "raw_anomaly"))
         stage(
             "treated",
-            lambda io: _restore(treat_transcripts(narrow, cfg, chunked=chunked)),
+            lambda io: _restore(
+                treat_transcripts(narrow, cfg, chunked=chunked, flags=flags)
+            ),
             deps=["filled"],
         )
         m1 = stage(

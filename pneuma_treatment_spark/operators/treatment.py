@@ -11,15 +11,21 @@ identical.
 
 Execution shape (vs the reference's sequential ``for v_id in ids`` loop):
 
-* **Stage A** (bounded-support kernels: SG window 25, median window 5) —
-  Arrow-batched ``applyInPandas`` per conv_id, or **chunked** per
-  (conv_id, chunk) with halo rows for mega-conversations whose full series
-  must not land on one executor. Halo ≥ kernel radius ⇒ chunked == unchunked
-  bit-for-bit.
-* **Stage B** (anomaly run merge, ``processor.py:390-399``) — global per
-  conv, but expressible as two window passes in SQL (JVM-side), so it needs
-  no Python and no whole-series materialization.
-* **Stage C** (replace) — a ``when()`` column expression.
+* **Stages A+B+C** (bounded-support kernels: SG window 25, median window 5,
+  run merge radius merge_gap, replacement) — ONE Arrow-batched
+  ``applyInPandas`` per conv_id, or **chunked** per (conv_id, chunk) with
+  halo rows (halo_a + merge_gap) for mega-conversations whose full series
+  must not land on one executor. Halo ≥ total dependency radius ⇒ chunked
+  == unchunked bit-for-bit. (The run merge, ``processor.py:390-399``, was
+  formerly a separate SQL window stage — two full-frame sorts and a
+  conv-partitioned exchange between the pandas stages; it is
+  bounded-support, so round 5 fused it into the kernel.)
+* **conv_has_anomaly** — the one genuinely conv-global bit (== any
+  raw_anomaly). Non-chunked: in-slice any (groups hold whole convs), so
+  the WHOLE chain is one pandas stage / one exchange. Chunked: a tiny
+  (conv_id, bool) flags side joins in — precomputed by the caller via
+  :func:`raw_anomaly_col` + :func:`conv_anomaly_flags` (free when a prior
+  stage already runs conv windows), else derived by a slim 3-column pass.
 * **Stage D** (Gaussian sigma-12 smooth + gradient, ``processor.py:401-448``
   incl. the no-anomaly passthrough branch) — second pandas stage, chunkable
   with halo ≥ the Gaussian truncation radius (49).
@@ -71,17 +77,47 @@ def _group_bounds(pdf: pd.DataFrame, group_cols: tuple[str, ...]) -> np.ndarray:
     return np.append(np.flatnonzero(change), n)
 
 
-def _stage_a_kernel(
+def _run_merge_values(raw: np.ndarray, turns: np.ndarray, gap: int) -> np.ndarray:
+    """Anomaly run merge on turn-index VALUES: row j becomes anomalous when
+    its nearest raw anomalies at-or-before and at-or-after satisfy
+    ``next_turn - prev_turn < gap`` — exactly the former SQL window
+    formulation (``last(anom_idx) over asc`` / ``over desc``); equals
+    :func:`kernels.merge_anomaly_runs` (position-based) on dense turn_idx.
+    Bounded support: a row's decision only reads raw flags within ``gap``
+    turn values, so chunked execution with halo ≥ gap + mask radius is
+    exact."""
+    idx = np.flatnonzero(raw)
+    out = raw.copy()
+    if idx.size < 2:
+        return out
+    pos = np.arange(len(raw))
+    kr = np.searchsorted(idx, pos, side="right")  # count of anomalies ≤ j
+    kl = np.searchsorted(idx, pos, side="left")   # idx[kl] = first anomaly ≥ j
+    has_prev = kr > 0
+    has_next = kl < idx.size
+    prev_t = turns[idx[np.maximum(kr - 1, 0)]]
+    next_t = turns[idx[np.minimum(kl, idx.size - 1)]]
+    out |= has_prev & has_next & ((next_t - prev_t) < gap)
+    return out
+
+
+def _stage_abc_kernel(
     pdf: pd.DataFrame, cfg: TreatmentConfig, group_cols: tuple[str, ...]
 ) -> pd.DataFrame:
-    """Whole-bucket stage A: per-series kernels over numpy slices (the
-    bucket arrives sorted by (*group_cols, turn_idx))."""
+    """Whole-bucket stages A+B+C: per-series kernels, anomaly run-merge and
+    replacement over numpy slices (the bucket arrives sorted by
+    (*group_cols, turn_idx)). The merge is bounded-support (radius
+    merge_gap + mask radius), so fusing it here removes the former
+    full-frame conv-partitioned window exchange between stages A and D."""
     x = pdf["token_count"].to_numpy(dtype=np.float64)
+    t = pdf["turn_idx"].to_numpy()
     n = len(x)
     filled = np.empty(n)
     sg = np.empty(n)
     med = np.empty(n)
     raw = np.empty(n, dtype=bool)
+    merged = np.empty(n, dtype=bool)
+    treated = np.empty(n)
     b = _group_bounds(pdf, group_cols)
     for s, e in zip(b[:-1], b[1:]):
         seg = K.interpolate_linear_both(x[s:e])
@@ -89,10 +125,64 @@ def _stage_a_kernel(
         sg[s:e] = K.savgol_poly1(seg, cfg.sg_window)
         m = K.rolling_median(seg, cfg.med_window)
         med[s:e] = m
-        raw[s:e] = K.anomaly_mask(seg, m, cfg.tol)
+        r = K.anomaly_mask(seg, m, cfg.tol)
+        raw[s:e] = r
+        mr = _run_merge_values(r, t[s:e], cfg.merge_gap)
+        merged[s:e] = mr
+        treated[s:e] = np.where(mr, m, seg)
     pdf["tokens_filled"] = filled
     pdf["sg_tokens"] = sg
     pdf["med_tokens"] = med
+    pdf["raw_anomaly"] = raw
+    pdf["is_anomaly"] = merged
+    pdf["treated_tokens"] = treated
+    return pdf
+
+
+def _stage_full_kernel(
+    pdf: pd.DataFrame, cfg: TreatmentConfig, group_cols: tuple[str, ...]
+) -> pd.DataFrame:
+    """Whole-series single-pass treatment (non-chunked): stages A+B+C+D in
+    one kernel — each group is a complete conversation, so the per-conv
+    global ``conv_has_anomaly`` is an in-slice ``any`` and the whole chain
+    runs in ONE exchange (was three)."""
+    pdf = _stage_abc_kernel(pdf, cfg, group_cols)
+    treated = pdf["treated_tokens"].to_numpy(np.float64)
+    sg = pdf["sg_tokens"].to_numpy(np.float64)
+    merged = pdf["is_anomaly"].to_numpy(bool)
+    n = len(treated)
+    conv_has = np.empty(n, dtype=bool)
+    g_ns = np.empty(n)
+    g_na = np.empty(n)
+    b = _group_bounds(pdf, group_cols)
+    for s, e in zip(b[:-1], b[1:]):
+        has = bool(merged[s:e].any())
+        conv_has[s:e] = has
+        seg = K.gaussian1d(treated[s:e], cfg.gauss_sigma) if has else sg[s:e]
+        g_ns[s:e] = seg
+        g_na[s:e] = K.gradient(seg, K.DT)
+    pdf["conv_has_anomaly"] = conv_has
+    pdf["g_ns"] = g_ns
+    pdf["g_na"] = g_na
+    return pdf
+
+
+def _slim_raw_kernel(
+    pdf: pd.DataFrame, cfg: TreatmentConfig, group_cols: tuple[str, ...]
+) -> pd.DataFrame:
+    """Raw anomaly mask only (interp + rolling median + tolerance mask) —
+    the slim flags branch for chunked mode when no precomputed flags are
+    supplied. conv_has_anomaly == any(raw_anomaly): the run merge only
+    fills rows BETWEEN existing raw anomalies, so the per-conv any is
+    identical on raw and merged masks."""
+    x = pdf["token_count"].to_numpy(dtype=np.float64)
+    n = len(x)
+    raw = np.empty(n, dtype=bool)
+    b = _group_bounds(pdf, group_cols)
+    for s, e in zip(b[:-1], b[1:]):
+        seg = K.interpolate_linear_both(x[s:e])
+        m = K.rolling_median(seg, cfg.med_window)
+        raw[s:e] = K.anomaly_mask(seg, m, cfg.tol)
     pdf["raw_anomaly"] = raw
     return pdf
 
@@ -192,62 +282,121 @@ def _apply(df: DataFrame, kernel, added_fields, cfg: TreatmentConfig, halo: int,
     return res.drop("__chunk", "__g")
 
 
+def raw_anomaly_col(
+    cfg: TreatmentConfig | None = None,
+    value_col: str = "token_count",
+    key: str = "conv_id",
+    idx: str = "turn_idx",
+):
+    """SQL twin of the kernel raw-anomaly mask over an ALREADY GAP-FILLED
+    series: centered rolling median (min_periods=1) via sorted neighbor
+    arrays + tolerance mask, bit-identical to
+    ``anomaly_mask(x, rolling_median(x, med_window), tol)`` — missing
+    neighbors (partition edge) and null values both drop from the array,
+    exactly the shrunken-window / nanmedian semantics; even counts average
+    the two middles with the same IEEE op; null value or empty window ⇒
+    anomalous (NaN rule).
+
+    Use case: a pipeline whose gap-fill stage already runs conv-partitioned
+    windows can add this column FOR FREE (same exchange), so
+    ``conv_has_anomaly`` flags become a plain scan+aggregate over the
+    materialized table and the chunked treatment skips its slim flags pass
+    (pass ``flags=`` to :func:`treat_transcripts`)."""
+    cfg = cfg or TreatmentConfig()
+    w = Window.partitionBy(key).orderBy(idx)
+    c = F.col(value_col)
+    left = cfg.med_window // 2
+    right = cfg.med_window - left - 1
+    neighbors = (
+        [F.lag(c, i).over(w) for i in range(left, 0, -1)]
+        + [c]
+        + [F.lead(c, i).over(w) for i in range(1, right + 1)]
+    )
+    vals = F.array_sort(F.array_compact(F.array(*neighbors)))
+    n = F.size(vals)
+    lo = F.floor(n / 2).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(vals, lo + 1)
+    ).otherwise((F.element_at(vals, lo) + F.element_at(vals, lo + 1)) / 2.0)
+    return F.coalesce(~(F.abs(c - med) < cfg.tol), F.lit(True))
+
+
+def conv_anomaly_flags(rawed: DataFrame, key: str = "conv_id") -> DataFrame:
+    """(conv_id, conv_has_anomaly) from a frame carrying ``raw_anomaly`` —
+    a map-side-combined aggregate (tiny shuffle). any(raw) == any(merged):
+    the run merge only fills rows between existing raw anomalies."""
+    return rawed.groupBy(key).agg(
+        (F.max(F.col("raw_anomaly").cast("int")) == 1).alias("conv_has_anomaly")
+    )
+
+
 def treat_transcripts(
-    df: DataFrame, cfg: TreatmentConfig | None = None, chunked: bool = False
+    df: DataFrame,
+    cfg: TreatmentConfig | None = None,
+    chunked: bool = False,
+    flags: DataFrame | None = None,
 ) -> DataFrame:
     """Full treatment chain. Input: transcripts with ``token_count`` (from
     ``rollup.with_turn_metrics``) and dense ``turn_idx`` (from ``gap_fill``).
 
     Adds: tokens_filled, sg_tokens, med_tokens, raw_anomaly, is_anomaly,
     treated_tokens, conv_has_anomaly, g_ns (smoothed), g_na (derivative).
+
+    Execution (round-5 fusion — the former SQL run-merge stage cost a
+    full-frame conv-partitioned window exchange between the two pandas
+    stages; the merge is bounded-support, so it now runs inside the first
+    kernel):
+
+    * non-chunked: ONE pandas stage (A+B+C+D fused — each group holds whole
+      conversations, so the global ``conv_has_anomaly`` is an in-slice any).
+      One exchange total, was three.
+    * chunked: fused A+B+C kernel (halo extends by merge_gap), then the
+      per-conv ``conv_has_anomaly`` bit joins in and stage D runs chunked.
+      ``flags`` supplies it precomputed — (conv_id, conv_has_anomaly),
+      e.g. from :func:`conv_anomaly_flags` over a table carrying
+      :func:`raw_anomaly_col` — with no extra full-frame exchange (the
+      tiny flags side broadcasts below the AQE threshold; above it — many
+      billions of conversations per shard — it degrades to a narrow
+      shuffle join, still strictly cheaper than the full-frame window
+      exchange it replaced). Without ``flags`` a slim 3-column pandas pass
+      derives them (still cheaper than the old full-frame exchange).
+      Two full-frame exchanges total, was three.
     """
     cfg = cfg or TreatmentConfig()
 
-    # Stage A — bounded-support kernels (Arrow-batched pandas).
-    a_fields = [
+    abc_fields = [
         ("tokens_filled", T.DoubleType()),
         ("sg_tokens", T.DoubleType()),
         ("med_tokens", T.DoubleType()),
         ("raw_anomaly", T.BooleanType()),
+        ("is_anomaly", T.BooleanType()),
+        ("treated_tokens", T.DoubleType()),
     ]
-    a = _apply(df, _stage_a_kernel, a_fields, cfg, cfg.halo_a, chunked)
 
-    # Stage B — run merge in SQL (processor.py:390-399): anomalies whose
-    # INDEX difference is < merge_gap merge (clean stretch ≤ merge_gap - 2).
-    # Backward lookup uses a running frame over a descending sort (the
-    # unboundedFollowing frame is O(n²) per partition — see gapfill.py).
-    w_fwd = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_bwd = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    anom_idx = F.when(F.col("raw_anomaly"), F.col("turn_idx"))
-    b = (
-        a.withColumn("__prev", F.last(anom_idx, ignorenulls=True).over(w_fwd))
-        .withColumn("__next", F.last(anom_idx, ignorenulls=True).over(w_bwd))
-        .withColumn(
-            "is_anomaly",
-            F.col("raw_anomaly")
-            | (
-                F.col("__prev").isNotNull()
-                & F.col("__next").isNotNull()
-                & ((F.col("__next") - F.col("__prev")) < cfg.merge_gap)
-            ),
+    if not chunked:
+        full_fields = abc_fields + [
+            ("conv_has_anomaly", T.BooleanType()),
+            ("g_ns", T.DoubleType()),
+            ("g_na", T.DoubleType()),
+        ]
+        return _apply(df, _stage_full_kernel, full_fields, cfg, 0, chunked=False)
+
+    halo_abc = cfg.halo_a + cfg.merge_gap
+    abc = _apply(df, _stage_abc_kernel, abc_fields, cfg, halo_abc, chunked=True)
+
+    if flags is None:
+        slim = df.select("conv_id", "turn_idx", "token_count")
+        rawed = _apply(
+            slim,
+            _slim_raw_kernel,
+            [("raw_anomaly", T.BooleanType())],
+            cfg,
+            cfg.med_window // 2 + 1,
+            chunked=True,
         )
-        .drop("__prev", "__next")
-    )
+        flags = conv_anomaly_flags(rawed)
 
-    # Stage C — replacement (processor.py:366-371,401-410): anomalous points
-    # take the reconstruction, clean points keep the (filled) raw value.
-    c = b.withColumn(
-        "treated_tokens",
-        F.when(F.col("is_anomaly"), F.col("med_tokens")).otherwise(F.col("tokens_filled")),
-    ).withColumn(
-        "conv_has_anomaly",
-        F.max(F.col("is_anomaly").cast("int")).over(Window.partitionBy("conv_id")) > 0,
-    )
+    c = abc.join(flags, "conv_id")
 
-    # Stage D — final smooth + derivative with per-conv branch.
     d_fields = [("g_ns", T.DoubleType()), ("g_na", T.DoubleType())]
-    return _apply(c, _stage_d_kernel, d_fields, cfg, cfg.halo_d, chunked)
+    return _apply(c, _stage_d_kernel, d_fields, cfg, cfg.halo_d, chunked=True)

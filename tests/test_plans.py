@@ -259,3 +259,48 @@ def test_text_rides_no_treatment_or_rollup_shuffle(spark):
             ), f"{label}: text in an exchange: {line}"
         # treatment/rollup plans must not reference the payload at all
         assert "text#" not in plan, label
+
+
+def test_treatment_fused_exchange_count(spark, transcripts_df):
+    """Round-5 fusion guarantees: the non-chunked treatment chain is ONE
+    exchange end-to-end (A+B+C+D in a single pandas stage), and the chunked
+    chain with precomputed flags is TWO full-frame exchanges with the tiny
+    flags side broadcast — the former SQL run-merge window exchange must
+    not reappear."""
+    from pneuma_treatment_spark.operators.gapfill import gap_fill
+    from pneuma_treatment_spark.operators.rollup import with_turn_metrics
+    from pneuma_treatment_spark.operators.treatment import (
+        TreatmentConfig,
+        conv_anomaly_flags,
+        raw_anomaly_col,
+        treat_transcripts,
+    )
+
+    cfg = TreatmentConfig(chunk_len=256)
+    filled = gap_fill(
+        with_turn_metrics(transcripts_df).select(
+            "conv_id", "turn_idx", "role", "ts", "token_count"
+        ),
+        lerp_cols=("token_count",),
+        lerp_ts_cols=("ts",),
+    )
+    filled.cache().count()
+    try:
+        def above_cache(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.split("InMemoryTableScan")[0]
+
+        one = above_cache(treat_transcripts(filled, cfg))
+        assert one.count("Exchange hashpartitioning") == 1, one
+
+        rawed = filled.withColumn("raw_anomaly", raw_anomaly_col(cfg))
+        two = above_cache(
+            treat_transcripts(
+                filled, cfg, chunked=True, flags=conv_anomaly_flags(rawed)
+            )
+        )
+        # flags ride a broadcast, not a full-frame hash exchange
+        assert two.count("Exchange hashpartitioning") == 2, two
+        assert "BroadcastExchange" in two or "BroadcastHashJoin" in two
+    finally:
+        filled.unpersist()

@@ -60,6 +60,39 @@ def test_treatment_parity(filled_spark, filled_oracle, chunked):
     assert_pdf_equal(got[cols], want[cols], ["conv_id", "turn_idx"])
 
 
+def test_treatment_parity_precomputed_flags(filled_spark, filled_oracle):
+    """The pipeline path: conv_has_anomaly flags precomputed via the SQL
+    raw-anomaly twin (raw_anomaly_col — same exchange as gap-fill in the
+    real pipeline) + conv_anomaly_flags, passed into the chunked treatment.
+    Must equal the oracle bit-for-bit, and the SQL mask itself must equal
+    the kernel mask row-for-row."""
+    from pneuma_treatment_spark.operators.treatment import (
+        conv_anomaly_flags,
+        raw_anomaly_col,
+    )
+
+    rawed = filled_spark.withColumn("raw_anomaly", raw_anomaly_col(CFG))
+    got = treat_transcripts(
+        filled_spark, CFG, chunked=True, flags=conv_anomaly_flags(rawed)
+    ).toPandas()
+    want = O.oracle_treat(filled_oracle, CFG)
+    cols = [
+        "conv_id", "turn_idx", "tokens_filled", "sg_tokens", "med_tokens",
+        "raw_anomaly", "is_anomaly", "treated_tokens", "conv_has_anomaly",
+        "g_ns", "g_na",
+    ]
+    assert_pdf_equal(got[cols], want[cols], ["conv_id", "turn_idx"])
+
+    # SQL mask == kernel mask, row for row (not just the per-conv any)
+    sql_raw = rawed.select("conv_id", "turn_idx", "raw_anomaly").toPandas()
+    merged = sql_raw.merge(
+        want[["conv_id", "turn_idx", "raw_anomaly"]],
+        on=["conv_id", "turn_idx"],
+        suffixes=("_sql", "_kernel"),
+    )
+    assert (merged["raw_anomaly_sql"] == merged["raw_anomaly_kernel"]).all()
+
+
 def test_rollup_parity(spark, transcripts_df, transcripts_pdf):
     m = with_turn_metrics(transcripts_df)
     got = rollup_raw(m, "1h").toPandas()
