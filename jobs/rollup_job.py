@@ -191,7 +191,13 @@ def run_pipeline(
                     _with_sk(ingest, "turn_idx", "text", "tool"),
                     ["conv_id", "turn_idx"],
                     "left",
-                ).withColumn("raw_anomaly", raw_anomaly_col(cfg))
+                ).transform(
+                    # only the chunked treatment consumes the flags (the
+                    # non-chunked path computes conv_has_anomaly in-kernel)
+                    lambda d: d.withColumn("raw_anomaly", raw_anomaly_col(cfg))
+                    if chunked
+                    else d
+                )
             ),
             deps=["ingest"],
         )
@@ -206,8 +212,14 @@ def run_pipeline(
         narrow = _with_sk(filled, "turn_idx", "ts", "token_count", "is_filled")
         # conv flags from the materialized filled table: map-side-combined
         # aggregate over the stored raw_anomaly column — no window, no
-        # full-frame exchange, broadcast into the chunked stage-D join
-        flags = conv_anomaly_flags(_with_sk(filled, "raw_anomaly"))
+        # full-frame exchange, broadcast into the chunked stage-D join.
+        # A resumed pre-round-5 filled table has no raw_anomaly column:
+        # fall back to flags=None (treat_transcripts' slim pass).
+        flags = (
+            conv_anomaly_flags(_with_sk(filled, "raw_anomaly"))
+            if chunked and "raw_anomaly" in filled.columns
+            else None
+        )
         stage(
             "treated",
             lambda io: _restore(

@@ -101,14 +101,9 @@ def _run_merge_values(raw: np.ndarray, turns: np.ndarray, gap: int) -> np.ndarra
     return out
 
 
-def _stage_abc_kernel(
-    pdf: pd.DataFrame, cfg: TreatmentConfig, group_cols: tuple[str, ...]
-) -> pd.DataFrame:
-    """Whole-bucket stages A+B+C: per-series kernels, anomaly run-merge and
-    replacement over numpy slices (the bucket arrives sorted by
-    (*group_cols, turn_idx)). The merge is bounded-support (radius
-    merge_gap + mask radius), so fusing it here removes the former
-    full-frame conv-partitioned window exchange between stages A and D."""
+def _abc_compute(pdf: pd.DataFrame, cfg: TreatmentConfig, bounds: np.ndarray):
+    """Shared A+B+C math over precomputed slice bounds: returns
+    (filled, sg, med, raw, merged, treated) numpy arrays."""
     x = pdf["token_count"].to_numpy(dtype=np.float64)
     t = pdf["turn_idx"].to_numpy()
     n = len(x)
@@ -118,8 +113,7 @@ def _stage_abc_kernel(
     raw = np.empty(n, dtype=bool)
     merged = np.empty(n, dtype=bool)
     treated = np.empty(n)
-    b = _group_bounds(pdf, group_cols)
-    for s, e in zip(b[:-1], b[1:]):
+    for s, e in zip(bounds[:-1], bounds[1:]):
         seg = K.interpolate_linear_both(x[s:e])
         filled[s:e] = seg
         sg[s:e] = K.savgol_poly1(seg, cfg.sg_window)
@@ -130,6 +124,19 @@ def _stage_abc_kernel(
         mr = _run_merge_values(r, t[s:e], cfg.merge_gap)
         merged[s:e] = mr
         treated[s:e] = np.where(mr, m, seg)
+    return filled, sg, med, raw, merged, treated
+
+
+def _stage_abc_kernel(
+    pdf: pd.DataFrame, cfg: TreatmentConfig, group_cols: tuple[str, ...]
+) -> pd.DataFrame:
+    """Whole-bucket stages A+B+C: per-series kernels, anomaly run-merge and
+    replacement over numpy slices (the bucket arrives sorted by
+    (*group_cols, turn_idx)). The merge is bounded-support (radius
+    merge_gap + mask radius), so fusing it here removes the former
+    full-frame conv-partitioned window exchange between stages A and D."""
+    b = _group_bounds(pdf, group_cols)
+    filled, sg, med, raw, merged, treated = _abc_compute(pdf, cfg, b)
     pdf["tokens_filled"] = filled
     pdf["sg_tokens"] = sg
     pdf["med_tokens"] = med
@@ -145,22 +152,26 @@ def _stage_full_kernel(
     """Whole-series single-pass treatment (non-chunked): stages A+B+C+D in
     one kernel — each group is a complete conversation, so the per-conv
     global ``conv_has_anomaly`` is an in-slice ``any`` and the whole chain
-    runs in ONE exchange (was three)."""
-    pdf = _stage_abc_kernel(pdf, cfg, group_cols)
-    treated = pdf["treated_tokens"].to_numpy(np.float64)
-    sg = pdf["sg_tokens"].to_numpy(np.float64)
-    merged = pdf["is_anomaly"].to_numpy(bool)
-    n = len(treated)
+    runs in ONE exchange (was three). One bounds pass and no
+    pandas→numpy round-trips between the sub-stages."""
+    b = _group_bounds(pdf, group_cols)
+    filled, sg, med, raw, merged, treated = _abc_compute(pdf, cfg, b)
+    n = len(filled)
     conv_has = np.empty(n, dtype=bool)
     g_ns = np.empty(n)
     g_na = np.empty(n)
-    b = _group_bounds(pdf, group_cols)
     for s, e in zip(b[:-1], b[1:]):
         has = bool(merged[s:e].any())
         conv_has[s:e] = has
         seg = K.gaussian1d(treated[s:e], cfg.gauss_sigma) if has else sg[s:e]
         g_ns[s:e] = seg
         g_na[s:e] = K.gradient(seg, K.DT)
+    pdf["tokens_filled"] = filled
+    pdf["sg_tokens"] = sg
+    pdf["med_tokens"] = med
+    pdf["raw_anomaly"] = raw
+    pdf["is_anomaly"] = merged
+    pdf["treated_tokens"] = treated
     pdf["conv_has_anomaly"] = conv_has
     pdf["g_ns"] = g_ns
     pdf["g_na"] = g_na
@@ -198,7 +209,16 @@ def _stage_d_kernel(
     g_na = np.empty(n)
     b = _group_bounds(pdf, group_cols)
     for s, e in zip(b[:-1], b[1:]):
-        if bool(has_anom[s]):
+        v = has_anom[s]
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            # a null flag means the caller-supplied flags frame is missing
+            # (or null for) this conversation — silently treating that as
+            # "no anomaly" would route the conv down the wrong branch
+            raise ValueError(
+                f"conv_has_anomaly is null for {pdf[group_cols[0]].iloc[s]!r}: "
+                "flags= must cover every conversation with a non-null boolean"
+            )
+        if bool(v):
             # anomalous branch: gaussian-smooth the treated series, derive
             # (processor.py:401-431: new_speed -> g_ns -> g_na)
             seg = K.gaussian1d(treated[s:e], cfg.gauss_sigma)
@@ -253,6 +273,14 @@ def _apply(df: DataFrame, kernel, added_fields, cfg: TreatmentConfig, halo: int,
         return keyed.groupBy("__g").applyInPandas(run_bucket, out_schema).drop("__g")
 
     L, H = cfg.chunk_len, halo
+    if H > L:
+        # the explode only serves ±1 adjacent chunk, so the effective halo
+        # is capped at chunk_len — beyond it chunked output silently
+        # diverges from whole-series output. Fail loud instead.
+        raise ValueError(
+            f"halo {H} exceeds chunk_len {L}: raise chunk_len or shrink the "
+            "kernel support (sg_window/merge_gap/gauss_sigma)"
+        )
     own = F.floor(F.col("turn_idx") / L).cast("long")
     pos = F.col("turn_idx") % L
     chunks = F.array_compact(
@@ -396,7 +424,9 @@ def treat_transcripts(
         )
         flags = conv_anomaly_flags(rawed)
 
-    c = abc.join(flags, "conv_id")
+    # LEFT join: a flags frame that misses conversations must not silently
+    # drop their rows — the null flag fails loudly in _stage_d_kernel
+    c = abc.join(flags, "conv_id", "left")
 
     d_fields = [("g_ns", T.DoubleType()), ("g_na", T.DoubleType())]
     return _apply(c, _stage_d_kernel, d_fields, cfg, cfg.halo_d, chunked=True)

@@ -93,6 +93,22 @@ def test_treatment_parity_precomputed_flags(filled_spark, filled_oracle):
     assert (merged["raw_anomaly_sql"] == merged["raw_anomaly_kernel"]).all()
 
 
+def test_fusion_guards(spark, filled_spark):
+    """Silent-corruption guards: halo > chunk_len refuses eagerly, and a
+    flags frame missing conversations fails loudly instead of dropping
+    rows or routing convs down the no-anomaly branch."""
+    with pytest.raises(ValueError, match="halo"):
+        treat_transcripts(filled_spark, TreatmentConfig(chunk_len=16), chunked=True)
+
+    partial = spark.createDataFrame(
+        [("conv00000000", True)], "conv_id string, conv_has_anomaly boolean"
+    )
+    with pytest.raises(Exception, match="conv_has_anomaly is null"):
+        treat_transcripts(
+            filled_spark, CFG, chunked=True, flags=partial
+        ).collect()
+
+
 def test_rollup_parity(spark, transcripts_df, transcripts_pdf):
     m = with_turn_metrics(transcripts_df)
     got = rollup_raw(m, "1h").toPandas()
