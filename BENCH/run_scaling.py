@@ -32,9 +32,14 @@ REPO = Path(__file__).resolve().parents[1]
 
 def cpu_ticks() -> tuple[int, int]:
     """(steal, total) jiffies — hypervisor steal is this shared-host VM's
-    dominant variance source; see run_scaling_executors.cpu_ticks."""
-    with open("/proc/stat") as f:
-        vals = [int(x) for x in f.readline().split()[1:]]
+    dominant variance source; see run_scaling_executors.cpu_ticks. Returns
+    (0, 0) on hosts without /proc (matching bench.py's guard) — steal_pct
+    then reads 0 instead of crashing the harness."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except OSError:
+        return 0, 0
     return vals[7] if len(vals) > 7 else 0, sum(vals)
 
 

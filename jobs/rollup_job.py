@@ -343,7 +343,7 @@ def main() -> None:
             # A tier table may be absent (partial failure, or a future
             # --stop-after run): skip it with a message instead of letting
             # io.compact surface a raw path-not-found AnalysisException.
-            if io._exists(f"rollup_{tier}"):
+            if io.exists(f"rollup_{tier}"):
                 io.compact(f"rollup_{tier}")
             else:
                 print(f"compact: rollup_{tier} not built, skipping", file=sys.stderr)

@@ -34,8 +34,10 @@ class TableIO:
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
 
-    def _exists(self, table: str) -> bool:
-        """Hadoop-FS existence check (works for any scheme, not just file:)."""
+    def exists(self, table: str) -> bool:
+        """Hadoop-FS existence check (works for any scheme, not just file:).
+        Public API — callers (e.g. jobs/rollup_job.py's --compact guard)
+        rely on it to skip absent tables."""
         jvm = self.spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(self.path(table))
         fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
@@ -89,7 +91,7 @@ class TableIO:
             # next to regrown partition dirs (schema-drift hazard).
             mode = (
                 "dynamic"
-                if self._exists(table) and self._partition_dirs(table)
+                if self.exists(table) and self._partition_dirs(table)
                 else "static"
             )
             # Cluster rows by their target partition before the write: without
@@ -134,7 +136,7 @@ class TableIO:
           every subsequent exchange-free ``read_table`` join.
 
         Checks go through the Hadoop FS API (any scheme, not just local
-        paths — same reason as :meth:`_exists`)."""
+        paths — same reason as :meth:`exists`)."""
         jvm = self.spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(f"{self.path(table)}/_spark_metadata")
         fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())

@@ -101,6 +101,108 @@ def synth_media(spark, n: int = 256, seed: int = 5) -> DataFrame:
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def _md5_chain(seed: int, mid: int, nbytes: int) -> bytes:
+    """First ``nbytes`` of the (seed, mid, block) md5 chain — the same
+    deterministic byte stream synth_media uses, factored out so real-media
+    payload bodies share it."""
+    import hashlib
+
+    return b"".join(
+        hashlib.md5(f"{seed}:{mid}:{b}".encode()).digest()
+        for b in range((nbytes + 15) // 16)
+    )[:nbytes]
+
+
+def synth_real_media(spark, n: int = 60, seed: int = 7) -> DataFrame:
+    """Deterministic table of GENUINELY PARSEABLE media files: binary PPM
+    images, RIFF/WAVE audio, RIFF/AVI video. Every header fact (dims,
+    frame counts, rates) is an integer LCG draw and every payload body is
+    the md5 chain, so a SQL oracle re-derives the expected decoded values
+    from the LCG formulas alone — :func:`stdlib_decoder` must then recover
+    those planted values from the actual bytes (the end-to-end decode
+    gate; no byte-level SQL needed).
+
+    Per-kind construction (mirrored by the ``multimodal_features`` oracle):
+
+    - image: P6 PPM, w/h in [4,40), raster = md5 chain (w*h*3 bytes);
+      n_bytes = 9 + digits(w) + digits(h) + 3*w*h.
+    - audio: mono 16-bit 8 kHz WAV via the stdlib wave module; frame count
+      is a multiple of 8 so duration_ms = frames/8 exactly (no rounding
+      ambiguity between Python and SQL); n_bytes = 44 + 2*frames.
+    - video: minimal RIFF/AVI — LIST hdrl{avih} + LIST movi{one 00dc chunk
+      of md5-chain bytes, word-aligned}; duration_ms = frames * ms_per_frame
+      exactly; n_bytes = 108 + dlen + (dlen % 2).
+    """
+    import io
+    import struct
+    import wave
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"].to_numpy():
+                mid = int(mid)
+                kind = ["image", "audio", "video"][mid % 3]
+                k0 = seed * 1_000_003 + mid * 7
+                if kind == "image":
+                    w = _lcg_int(k0 + 1, 4, 40)
+                    h = _lcg_int(k0 + 2, 4, 40)
+                    payload = b"P6\n%d %d\n255\n" % (w, h) + _md5_chain(
+                        seed, mid, w * h * 3
+                    )
+                    width, height, dur = w, h, None
+                    mime = "image/x-portable-pixmap"
+                elif kind == "audio":
+                    n_frames = 8 * _lcg_int(k0 + 3, 13, 250)
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(_md5_chain(seed, mid, 2 * n_frames))
+                    payload = buf.getvalue()
+                    width, height, dur = None, None, n_frames // 8
+                    mime = "audio/wav"
+                else:
+                    w = _lcg_int(k0 + 1, 16, 640)
+                    h = _lcg_int(k0 + 2, 16, 480)
+                    n_frames = _lcg_int(k0 + 4, 10, 500)
+                    ms_pf = _lcg_int(k0 + 5, 10, 100)
+                    dlen = _lcg_int(k0 + 6, 64, 1024)
+                    avih = struct.pack(
+                        "<14I", 1000 * ms_pf, 0, 0, 0, n_frames,
+                        0, 1, 0, w, h, 0, 0, 0, 0,
+                    )
+                    hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + avih
+                    movi = (
+                        b"movi" + b"00dc" + struct.pack("<I", dlen)
+                        + _md5_chain(seed, mid, dlen)
+                        + (b"\x00" if dlen % 2 else b"")
+                    )
+                    body = (
+                        b"AVI "
+                        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+                        + b"LIST" + struct.pack("<I", len(movi)) + movi
+                    )
+                    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+                    width, height, dur = w, h, n_frames * ms_pf
+                    mime = "video/x-msvideo"
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "mime": mime,
+                        "width": width,
+                        "height": height,
+                        "duration_ms": dur,
+                        "payload": payload,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _fake_decode(kind: str, payload: bytes, dim: int) -> np.ndarray:
     """Deterministic decode stub: feature = normalized byte histogram folded
     to ``dim``. Replace with a real decoder in deployment."""
@@ -137,6 +239,15 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         # 2-byte-per-sample PPMs (maxval > 255) would silently misparse as
         # uint8 — refuse so the caller falls back visibly instead
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if len(payload) - pos != w * h * 3:
+        # the netpbm spec mandates EXACTLY ONE whitespace byte between
+        # maxval and raster; a nonstandard '\r\n' separator (or trailing
+        # junk) shifts every sample by a byte and silently corrupts the
+        # mean/hist features — strict length check makes it a visible
+        # fallback instead
+        raise ValueError(
+            f"PPM raster length {len(payload) - pos} != {w}x{h}x3"
+        )
     pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return w, h, maxval, pixels
 
@@ -160,12 +271,58 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return int(round(1000 * nframes / rate)), rate, nch, samples
 
 
+def _parse_avi(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a RIFF/AVI container header with stdlib only: returns
+    (width, height, duration_ms, total_frames, n_streams) from the
+    ``avih`` MainAVIHeader (inside ``LIST hdrl``). Walks RIFF chunks with
+    word alignment per the spec; duration is
+    dwTotalFrames x dwMicroSecPerFrame. Frame PIXEL decode stays
+    environment-gated (needs a real codec), but the container metadata —
+    what the engine's frame_sample_plan and manifest consume — is genuinely
+    decoded here."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    riff_end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+
+    def find_avih(pos: int, end: int) -> tuple[int, int] | None:
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            data = pos + 8
+            if data + size > len(payload):
+                raise ValueError("truncated RIFF chunk")
+            if fourcc == b"LIST":
+                hit = find_avih(data + 4, data + size)  # skip list type
+                if hit is not None:
+                    return hit
+            elif fourcc == b"avih":
+                return data, size
+            pos = data + size + (size & 1)  # chunks are word-aligned
+        return None
+
+    hit = find_avih(12, riff_end)
+    if hit is None:
+        raise ValueError("no avih header in AVI")
+    data, size = hit
+    if size < 40:
+        raise ValueError(f"avih chunk too short ({size} bytes)")
+    (
+        usec_per_frame, _max_bps, _pad, _flags, total_frames,
+        _initial, n_streams, _bufsz, width, height,
+    ) = struct.unpack_from("<10I", payload, data)
+    duration_ms = int(round(total_frames * usec_per_frame / 1000))
+    return width, height, duration_ms, total_frames, n_streams
+
+
 def stdlib_decoder(kind: str, payload: bytes, dim: int) -> np.ndarray:
     """A REAL (non-fake) decoder built from stdlib only — the proof that the
     ``extract_features(decoder=...)`` seam carries genuinely decoded media
     properties, not just payload hashes (VERDICT r4 item 3). Recognizes
-    binary PPM images (magic ``P6``) and RIFF/WAVE audio; anything else
-    falls back to :func:`_fake_decode` so mixed tables still flow.
+    binary PPM images (magic ``P6``), RIFF/WAVE audio, and RIFF/AVI video
+    containers; anything else falls back to :func:`_fake_decode` so mixed
+    tables still flow.
 
     Feature layout (leading slots carry decoded header facts so tests can
     assert them end-to-end through the Arrow batch path; the tail is a
@@ -173,6 +330,9 @@ def stdlib_decoder(kind: str, payload: bytes, dim: int) -> np.ndarray:
 
     - PPM:  [width, height, maxval, mean_r, mean_g, mean_b, hist8...]
     - WAV:  [duration_ms, framerate, n_channels, mean, rms, hist8...]
+    - AVI:  [width, height, duration_ms, total_frames, n_streams, hist8...]
+      (hist8 over the container bytes — frame pixel decode needs a real
+      codec and stays environment-gated)
     """
     try:
         if payload[:2] == b"P6":
@@ -182,6 +342,11 @@ def stdlib_decoder(kind: str, payload: bytes, dim: int) -> np.ndarray:
             rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
             hist = np.bincount(px, minlength=256).reshape(8, 32).sum(axis=1)
             head = [w, h, maxval, *rgb, *hist]
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            w, h, dur_ms, n_frames, n_streams = _parse_avi(payload)
+            bv = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(bv, minlength=256).reshape(8, 32).sum(axis=1)
+            head = [w, h, dur_ms, n_frames, n_streams, *hist]
         elif payload[:4] == b"RIFF":
             dur_ms, rate, nch, samples = _parse_wav(payload)
             s = samples.astype(np.float64)

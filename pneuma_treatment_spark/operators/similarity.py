@@ -378,8 +378,10 @@ def ivf_train_centroids(
     state — retrain offline on a fresh sample only when cell-occupancy skew
     degrades (max/median cell size > ~8x or empty cells — monitored by
     :func:`ivf_cell_stats`, which returns the retrain flag; or nprobe
-    recall drops on a
-    held-out query set), then rewrite `ivf_cell` for new partitions first
+    recall drops on a held-out query set — measured by
+    :func:`ivf_recall_curve`, committed curve in ``BENCH/ivf_recall.md``,
+    monotonicity pinned by ``test_ivf_recall_curve``), then rewrite
+    `ivf_cell` for new partitions first
     and backfill old ones lazily; queries pin the codebook version their
     partition was written with, so a retrain is never a stop-the-world
     rebuild. Embedding-distribution drift is slow relative to ingest, so a
@@ -488,6 +490,52 @@ def ivf_topk(
     order = np.argsort(((_quantize(cent) - _quantize(q)) ** 2).sum(axis=1))[:nprobe]
     cand = emb_celled.where(F.col("ivf_cell").isin([int(c) for c in order]))
     return cosine_topk(cand, [float(v) for v in q], k, id_col, vec_col, fan=False)
+
+
+def ivf_recall_curve(
+    emb_celled: DataFrame,
+    centroids: list[list[float]],
+    queries: list[list[float]],
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, float]:
+    """Mean recall@k over a held-out query set, per nprobe — the measured
+    form of the second retrain trigger named in
+    :func:`ivf_train_centroids`'s codebook lifecycle ("nprobe recall drops
+    on a held-out query set"). Ground truth per query is brute-force
+    :func:`cosine_topk` over the same table; recall@nprobe = |ANN ∩ brute|/k.
+
+    The committed curve for the synthetic embeddings table lives in
+    ``BENCH/ivf_recall.md`` (``python BENCH/run_ivf_recall.py``);
+    ``test_ivf_recall_curve`` pins monotonicity and exactness at
+    nprobe = n_cells. In production this runs on the health-check cadence:
+    pick ~100 held-out queries, alert when recall@nprobe falls below the
+    SLO, retrain + lazily backfill as documented above.
+
+    Driver-side cost: len(queries) × (len(nprobes)+1) small top-k jobs over
+    a cached celled table — queries are a fixed tiny panel, so this stays a
+    monitoring job, never a data-scale one."""
+    per: dict[int, list[float]] = {int(p): [] for p in nprobes}
+    for q in queries:
+        qf = [float(v) for v in q]
+        truth = {
+            r[id_col]
+            for r in cosine_topk(
+                emb_celled, qf, k=k, id_col=id_col, vec_col=vec_col, fan=False
+            ).collect()
+        }
+        for p in per:
+            got = {
+                r[id_col]
+                for r in ivf_topk(
+                    emb_celled, centroids, qf, k=k, nprobe=p,
+                    id_col=id_col, vec_col=vec_col,
+                ).collect()
+            }
+            per[p].append(len(got & truth) / max(1, len(truth)))
+    return {p: round(sum(v) / len(v), 4) for p, v in sorted(per.items())}
 
 
 def ivf_cell_stats(

@@ -2000,26 +2000,74 @@ def multimodal_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum((i + 1) * v) % 2305843009213693951 AS BIGINT) AS pos_sum
       FROM bv GROUP BY 1
     )
-    SELECT p.media_id, p.kind, CAST(y.len AS INT) AS n_bytes,
-           32 AS feature_dim, d.hist_checksum, d.norm_sq, s.pos_sum
+    SELECT 'digest' AS src, p.media_id, p.kind, CAST(y.len AS INT) AS n_bytes,
+           32 AS feature_dim, d.hist_checksum, d.norm_sq, s.pos_sum,
+           CAST(NULL AS BIGINT) AS decoded_a,
+           CAST(NULL AS BIGINT) AS decoded_b,
+           CAST(NULL AS BIGINT) AS decoded_c
     FROM parms p JOIN pay y USING (media_id) JOIN digs d USING (media_id)
     JOIN psum s USING (media_id)
+    UNION ALL
+    SELECT 'decode' AS src, media_id, kind,
+           CAST(CASE kind
+             WHEN 'image' THEN 9 + length(CAST(iw AS VARCHAR))
+                  + length(CAST(ih AS VARCHAR)) + 3 * iw * ih
+             WHEN 'audio' THEN 44 + 2 * afr
+             ELSE 108 + dlen + dlen % 2 END AS INT) AS n_bytes,
+           16 AS feature_dim,
+           CAST(NULL AS BIGINT) AS hist_checksum,
+           CAST(NULL AS BIGINT) AS norm_sq,
+           CAST(NULL AS BIGINT) AS pos_sum,
+           CAST(CASE kind WHEN 'image' THEN iw WHEN 'audio' THEN afr // 8
+                ELSE vw END AS BIGINT) AS decoded_a,
+           CAST(CASE kind WHEN 'image' THEN ih WHEN 'audio' THEN 8000
+                ELSE vh END AS BIGINT) AS decoded_b,
+           CAST(CASE kind WHEN 'image' THEN 255 WHEN 'audio' THEN 1
+                ELSE vfr * mspf END AS BIGINT) AS decoded_c
+    FROM (
+      SELECT media_id,
+             CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             4 + {_MM_LCG.format(k="7*1000003 + media_id*7 + 1")} % 36 AS iw,
+             4 + {_MM_LCG.format(k="7*1000003 + media_id*7 + 2")} % 36 AS ih,
+             8 * (13 + {_MM_LCG.format(k="7*1000003 + media_id*7 + 3")} % 237) AS afr,
+             16 + {_MM_LCG.format(k="7*1000003 + media_id*7 + 1")} % 624 AS vw,
+             16 + {_MM_LCG.format(k="7*1000003 + media_id*7 + 2")} % 464 AS vh,
+             10 + {_MM_LCG.format(k="7*1000003 + media_id*7 + 4")} % 490 AS vfr,
+             10 + {_MM_LCG.format(k="7*1000003 + media_id*7 + 5")} % 90 AS mspf,
+             64 + {_MM_LCG.format(k="7*1000003 + media_id*7 + 6")} % 960 AS dlen
+      FROM (SELECT CAST(r.i AS BIGINT) AS media_id FROM range(60) r(i))
+    )
     """,
 )
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column multimodal feature extraction, hash-gated end-to-end:
-    synth media → Arrow-batched mapInPandas decode (stub) + exact-integer
-    payload digests. The oracle regenerates the md5-chain payload bytes in
-    SQL and recomputes the digests — the folded-histogram checksum and
-    squared norm pin the feature path (the stub feature IS the normalized
-    folded histogram), and the position-weighted byte sum pins payload
-    content AND order. Integer reductions replace the former murmur3
-    ``feature_hash`` (never SQL-replayable) and the raw-bytes sha (DuckDB
-    1.0 sha256 is VARCHAR-only); all are order-independent exact sums."""
-    from pneuma_treatment_spark.operators.multimodal import extract_features, synth_media
+    """Binary-column multimodal feature extraction, hash-gated end-to-end,
+    in two blocks sharing one schema (``src`` disambiguates):
 
-    feats = extract_features(synth_media(spark, n=64))
-    return feats.select(
+    - ``digest`` (64 rows): synth md5-chain media → Arrow-batched
+      mapInPandas + exact-integer payload digests. The oracle regenerates
+      the payload bytes in SQL and recomputes the digests — the
+      folded-histogram checksum and squared norm pin the feature path (the
+      stub feature IS the normalized folded histogram), and the
+      position-weighted byte sum pins payload content AND order.
+    - ``decode`` (60 rows): GENUINELY PARSEABLE PPM/WAV/AVI payloads whose
+      header facts are integer LCG draws (synth_real_media) →
+      stdlib_decoder → the decoded width/height/duration/rate land in the
+      feature head slots. The oracle re-derives the planted values from
+      the LCG formulas alone, so a hash match proves the decoder recovered
+      them from the actual bytes — real decode for all three kinds
+      (VERDICT r5 item 2 closed the ``video`` kind with a RIFF/AVI header
+      parse, multimodal.py:_parse_avi)."""
+    from pneuma_treatment_spark.operators.multimodal import (
+        extract_features,
+        stdlib_decoder,
+        synth_media,
+        synth_real_media,
+    )
+
+    null_long = F.lit(None).cast("long")
+    dig = extract_features(synth_media(spark, n=64)).select(
+        F.lit("digest").alias("src"),
         "media_id",
         "kind",
         "n_bytes",
@@ -2027,7 +2075,26 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hist_checksum",
         "norm_sq",
         "pos_sum",
+        null_long.alias("decoded_a"),
+        null_long.alias("decoded_b"),
+        null_long.alias("decoded_c"),
     )
+    dec = extract_features(
+        synth_real_media(spark, n=60, seed=7), dim=16, decoder=stdlib_decoder
+    ).select(
+        F.lit("decode").alias("src"),
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        null_long.alias("hist_checksum"),
+        null_long.alias("norm_sq"),
+        null_long.alias("pos_sum"),
+        F.element_at("feature", 1).cast("long").alias("decoded_a"),
+        F.element_at("feature", 2).cast("long").alias("decoded_b"),
+        F.element_at("feature", 3).cast("long").alias("decoded_c"),
+    )
+    return dig.unionByName(dec)
 
 
 @query(

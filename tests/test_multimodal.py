@@ -38,6 +38,28 @@ def _make_wav(ms: int, rate: int, seed: int) -> bytes:
     return buf.getvalue()
 
 
+def _make_avi(w: int, h: int, n_frames: int, usec_pf: int, seed: int) -> bytes:
+    """Real RIFF/AVI container: LIST hdrl{avih} + LIST movi{00dc}, with an
+    odd-sized JUNK chunk before hdrl so the walker's word-alignment rule is
+    exercised on the way to avih."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    avih = struct.pack(
+        "<14I", usec_pf, 0, 0, 0, n_frames, 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + avih
+    junk = b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"  # odd size + pad
+    frames = rng.integers(0, 256, 33, dtype=np.uint8).tobytes()
+    movi = b"movi" + b"00dc" + struct.pack("<I", 33) + frames + b"\x00"
+    body = (
+        b"AVI " + junk
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def test_feature_extraction_deterministic(spark):
     media = synth_media(spark, n=48, seed=5)
     f1 = extract_features(media, dim=32).toPandas().sort_values("media_id")
@@ -65,15 +87,32 @@ def test_stdlib_decoder_seam(spark):
         (5, "image", "image/x-portable-pixmap", 9, 9, None,
          b"P6\n9 9\n255\n" + b"\x01" * 10),
         (6, "audio", "audio/wav", None, None, 100, b"RIFF" + b"\x00" * 40),
+        # REAL AVI containers: width/height/duration decoded from avih
+        (7, "video", "video/x-msvideo", 320, 240, 10000,
+         _make_avi(320, 240, 250, 40000, 7)),
+        (8, "video", "video/x-msvideo", 64, 48, 750,
+         _make_avi(64, 48, 30, 25000, 8)),
+        # corrupt AVI (magic but no avih): falls back to the fake
+        (9, "video", "video/x-msvideo", 16, 16, 100,
+         b"RIFF" + (32).to_bytes(4, "little") + b"AVI " + b"\x00" * 28),
+        # nonstandard '\r\n' after maxval: raster shifts a byte — the
+        # strict length check must reject it into the fake fallback, not
+        # silently corrupt the features (ADVICE r5)
+        (10, "image", "image/x-portable-pixmap", 3, 3, None,
+         b"P6\n3 3\n255\r\n" + b"\x01" * 27),
     ]
     media = spark.createDataFrame(cases, MEDIA_SCHEMA)
     out = (
         extract_features(media, dim=16, decoder=stdlib_decoder)
         .toPandas().sort_values("media_id").reset_index(drop=True)
     )
-    assert len(out) == 7 and all(len(v) == 16 for v in out["feature"])
-    for i in (5, 6):  # corrupt rows produced the unit-norm fake feature
+    assert len(out) == 11 and all(len(v) == 16 for v in out["feature"])
+    for i in (5, 6, 9, 10):  # corrupt rows produced the unit-norm fake feature
         assert np.isclose(np.linalg.norm(out.loc[i, "feature"]), 1.0, atol=1e-5)
+    # AVI: feature[0:5] are the DECODED w/h/duration_ms/frames/streams from
+    # the avih MainAVIHeader (duration = dwTotalFrames x dwMicroSecPerFrame)
+    assert tuple(out.loc[7, "feature"][:5]) == (320.0, 240.0, 10000.0, 250.0, 1.0)
+    assert tuple(out.loc[8, "feature"][:5]) == (64.0, 48.0, 750.0, 30.0, 1.0)
     # PPM: feature[0:2] are the DECODED width/height from the P6 header
     for i, (w, h) in ((0, (37, 21)), (1, (5, 9))):
         f = out.loc[i, "feature"]
@@ -91,6 +130,37 @@ def test_stdlib_decoder_seam(spark):
     assert np.isclose(np.linalg.norm(out.loc[4, "feature"]), 1.0, atol=1e-5)
     # digest columns ride along unchanged for every decoder
     assert (out["n_bytes"] > 0).all() and (out["pos_sum"] >= 0).all()
+
+
+def test_synth_real_media_decodes(spark):
+    """Every synth_real_media payload is a genuinely parseable file:
+    stdlib_decoder must recover the PLANTED header facts (the table's own
+    metadata columns) from the bytes for all three kinds — no fake-decode
+    fallbacks anywhere. This is the local twin of the hash-gated 'decode'
+    block in the multimodal_features driver query."""
+    from pneuma_treatment_spark.operators.multimodal import (
+        extract_features,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, n=45, seed=7)
+    meta = media.select("media_id", "kind", "width", "height", "duration_ms").toPandas()
+    out = (
+        extract_features(media, dim=16, decoder=stdlib_decoder)
+        .toPandas()
+        .merge(meta, on=["media_id", "kind"])
+        .sort_values("media_id")
+    )
+    assert len(out) == 45
+    for r in out.itertuples(index=False):
+        f = r.feature
+        if r.kind == "image":
+            assert (f[0], f[1], f[2]) == (r.width, r.height, 255.0)
+        elif r.kind == "audio":
+            assert (f[0], f[1], f[2]) == (r.duration_ms, 8000.0, 1.0)
+        else:  # video: RIFF/AVI header decode
+            assert (f[0], f[1], f[2]) == (r.width, r.height, r.duration_ms)
+            assert f[4] == 1.0  # n_streams from avih
 
 
 def test_frame_sample_plan(spark):
