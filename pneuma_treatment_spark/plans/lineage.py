@@ -81,6 +81,7 @@ class PipelineRunner:
         ts_col: str = "ts",
         key_col: str = "conv_id",
         bucketed: bool = True,
+        partition_cols: list[str] | None = None,
     ) -> DataFrame:
         """Run ``build(io) -> DataFrame`` or skip if already complete.
 
@@ -112,7 +113,7 @@ class PipelineRunner:
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         self.io.write(
             df, name, partitioned=partitioned, ts_col=ts_col, key_col=key_col,
-            bucketed=bucketed,
+            bucketed=bucketed, partition_cols=partition_cols,
         )
         rows = int(obs.get["rows"])
         out = self.io.read(name)

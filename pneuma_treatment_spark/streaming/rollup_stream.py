@@ -116,6 +116,26 @@ def run_to_parquet_sink(
     cascade's scans prune (pass ``partition_cols``); readers must use
     the streaming-aware listing (Spark reads ``_spark_metadata``
     automatically when scanning the sink directory)."""
+    _validate_trigger(available_now, trigger_seconds)
+    w = (
+        rollup_stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def _validate_trigger(available_now: bool, trigger_seconds: int | None) -> None:
     if available_now and trigger_seconds is not None:
         raise ValueError(
             "available_now=True ignores trigger_seconds — pass "
@@ -126,14 +146,61 @@ def run_to_parquet_sink(
             "available_now=False requires a POSITIVE trigger_seconds (the "
             "micro-batch interval); None or <=0 would poll as-fast-as-possible"
         )
+
+
+def run_chunk_append_sink(
+    rollup_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    metrics: tuple[str, ...] = ("turn_count", "token_sum", "tool_calls"),
+    group_buckets: int = 32,
+    available_now: bool = True,
+    trigger_seconds: int | None = None,
+):
+    """Append closed rollup windows to a Gorilla CHUNK table incrementally —
+    what a real TSDB does with the hot end of the timeline (write_chunks is
+    otherwise batch-only; VERDICT r5 item 7).
+
+    Exactly-once rides two layers that compose with the checkpoint:
+
+    - append mode emits each closed (conv, window) bucket in exactly ONE
+      micro-batch (the watermark contract), so chunks encoded by different
+      epochs can never overlap in content;
+    - ``foreachBatch`` is only at-least-once on retry, so each epoch writes
+      its chunks under its own ``batch_id=<epoch>`` directory with
+      ``mode("overwrite")`` — a replayed epoch replaces its own output
+      byte-for-byte instead of appending a duplicate (the standard
+      foreachBatch idempotence pattern).
+
+    Within each epoch dir the chunks are partitioned (tier, p_day) — the
+    same TTL layout as the batch chunk table, so
+    ``chunk_ttl_sql_predicate`` retention and stat-pruned range reads work
+    unchanged (partition discovery just sees one extra outer ``batch_id``
+    level). Read the sink with
+    ``spark.read.option("basePath", path).parquet(path)``.
+
+    The input must carry ``conv_id``/``tier``/``bucket_ts`` plus
+    ``metrics`` columns (e.g. :func:`stream_rollup_1m` output).
+    """
+    from pneuma_treatment_spark.compression.chunks import write_chunks
+
+    _validate_trigger(available_now, trigger_seconds)
+
+    def emit(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return  # a watermark-only epoch: no closed buckets, no dir
+        (
+            write_chunks(bdf, metrics=metrics, group_buckets=group_buckets)
+            .write.mode("overwrite")
+            .partitionBy("tier", "p_day")
+            .parquet(f"{path}/batch_id={batch_id}")
+        )
+
     w = (
-        rollup_stream.writeStream.format("parquet")
-        .option("path", path)
+        rollup_stream.writeStream.foreachBatch(emit)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
     if available_now:
         w = w.trigger(availableNow=True)
     else:

@@ -342,3 +342,100 @@ def test_read_chunks_range_prunes_before_decode(spark, transcripts_df):
 
     pd.testing.assert_frame_equal(g, w)
     chunks.unpersist()
+
+
+def test_chunk_ttl_prunes_window_partitions(spark, tmp_path):
+    """Chunk-table retention (VERDICT r5 item 5): chunks are windowed per
+    tier (TIER_WINDOW_DAYS) and written partitioned by (tier, p_day =
+    window start), so a TTL delete (a) never touches a live point — a
+    boundary window whose coverage extends past the cutoff survives until
+    FULLY expired, (b) drops whole partition dirs, (c) prunes the rewrite's
+    keep-scan to surviving partitions (on real Iceberg: metadata-only),
+    and (d) preserves the nested tier/p_day directory layout through the
+    rewrite."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.compression.chunks import (
+        TIER_WINDOW_DAYS,
+        chunk_ttl_sql_predicate,
+        read_chunks,
+        write_chunks,
+    )
+    from pneuma_treatment_spark.io.tableio import TableIO
+
+    rows = []
+    # 1m tier: one bucket per hour over 2024-01-01..05 (1-day windows)
+    for d in range(1, 6):
+        for h in range(0, 24, 6):
+            rows.append(("c0", "1m", f"2024-01-0{d} {h:02d}:00:00", 2, 10, 1))
+    # 1h tier: one bucket per day over Dec 2023..Feb 2024 (30-day windows)
+    for off in range(0, 75, 5):
+        ts = pd.Timestamp("2023-12-01") + pd.Timedelta(days=off)
+        rows.append(("c1", "1h", str(ts), 3, 20, 0))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["conv_id", "tier", "bucket_ts", "turn_count",
+                     "token_sum", "tool_calls"],
+        )
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+
+    io = TableIO(spark, str(tmp_path))
+    io.write(write_chunks(df, group_buckets=4), "chunks",
+             partition_cols=["tier", "p_day"])
+
+    before = io.read("chunks").toPandas()
+    # no chunk crosses its window: [p_day, p_day + wdays)
+    for r in before.itertuples(index=False):
+        w = TIER_WINDOW_DAYS[r.tier]
+        lo = pd.Timestamp(r.p_day)
+        assert lo <= r.start_ts <= r.end_ts < lo + pd.Timedelta(days=w)
+
+    pred = chunk_ttl_sql_predicate({"1m": 1, "1h": 10}, "2024-01-05")
+    # (c) the keep-scan prunes on partition columns only
+    plan = (
+        io.read("chunks").where(f"NOT ({pred})")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "p_day" in plan.split("PartitionFilters")[1][:400]
+
+    io.delete_where("chunks", pred)
+    after = io.read("chunks").toPandas()
+
+    # (a) exact survivor set at the 7d/45d default windows:
+    # 1m windows are 2023-12-28 (covers Jan 1-3 data, last day Jan 3 <
+    # now-1 → fully expired, dropped) and 2024-01-04 (survives);
+    # 1h windows are 2023-11-04 (covers through Dec 18 < now-10 → dropped),
+    # 2023-12-19 and 2024-02-02 (survive). The 2023-12-19 window's START is
+    # older than the plain-TTL cutoff (2023-12-26) but it covers through
+    # 2024-02-01 — NOT fully expired, so it must survive (boundary
+    # semantics: no live point is ever deleted).
+    def key(pdf):
+        return set(map(tuple, pdf[["tier", "p_day", "conv_id", "metric"]].astype(str).values))
+
+    cut_1m = pd.Timestamp("2023-12-29").date()
+    keep = before[
+        ((before.tier == "1m") & (before.p_day >= cut_1m))
+        | ((before.tier == "1h") & (before.p_day >= pd.Timestamp("2023-11-12").date()))
+    ]
+    assert key(after) == key(keep) and len(after) < len(before)
+    assert ("1h", "2023-12-19") in {(t, str(p)) for t, p in zip(after.tier, after.p_day)}
+
+    # (b)+(d) expired dirs gone, nested layout preserved
+    root = tmp_path / "chunks"
+    assert (root / "tier=1m" / "p_day=2024-01-04").exists()
+    assert not (root / "tier=1m" / "p_day=2023-12-28").exists()
+    assert not (root / "tier=1h" / "p_day=2023-11-04").exists()
+    assert (root / "tier=1h" / "p_day=2023-12-19").exists()
+
+    # surviving chunk contents decode bit-identically to the original
+    dec = read_chunks(io.read("chunks")).toPandas().sort_values(
+        ["conv_id", "tier", "metric", "bucket_ts"]).reset_index(drop=True)
+    src = df.toPandas()
+    surv_1m = pd.Timestamp("2024-01-04").date()  # surviving window start
+    assert (dec[dec.tier == "1m"]["bucket_ts"].dt.date >= surv_1m).all()
+    m = dec[(dec.tier == "1m") & (dec.metric == "token_sum")]
+    assert set(m.value) == {10.0} and len(m) == len(
+        src[(src.tier == "1m") & (pd.to_datetime(src.bucket_ts).dt.date >= surv_1m)]
+    )

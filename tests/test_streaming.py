@@ -390,3 +390,96 @@ def test_parquet_sink_resumes_exactly_once(spark, transcripts_df, tmp_path):
         want[want.bucket_ts < cutoff],
         ["conv_id", "bucket_ts"],
     )
+
+
+def test_chunk_append_sink_exactly_once(spark, transcripts_df, tmp_path):
+    """Streaming chunk append (VERDICT r5 item 7): two availableNow runs on
+    one checkpoint — new input arriving between them — produce every chunk
+    exactly once, the decoded union equals the batch rollup on the
+    closed-window region, and the sink carries the (tier, p_day) TTL layout
+    under each epoch dir."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.compression.chunks import read_chunks
+    from pneuma_treatment_spark.streaming.rollup_stream import (
+        read_transcript_stream,
+        run_chunk_append_sink,
+        stream_rollup_1m,
+    )
+
+    src = str(tmp_path / "csink_src")
+    sink = str(tmp_path / "csink_out")
+    ckpt = str(tmp_path / "csink_ckpt")
+    os.makedirs(src)
+
+    split = transcripts_df.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).select(
+        (F.col("mn") + (F.col("mx") - F.col("mn")) / 2).cast("string")
+    ).first()[0]
+    early = transcripts_df.where(F.col("ts") < F.lit(split).cast("timestamp"))
+    late = transcripts_df.where(F.col("ts") >= F.lit(split).cast("timestamp"))
+
+    now = _time.time()
+    for i, part in enumerate((early, late)):
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+    _sh.move(_glob.glob(f"{src}/b0/part-*.parquet")[0], f"{src}/000.parquet")
+    _sh.rmtree(f"{src}/b0")
+    os.utime(f"{src}/000.parquet", (now - 60, now - 60))
+
+    run_chunk_append_sink(
+        stream_rollup_1m(read_transcript_stream(spark, src)), sink, ckpt
+    )
+    first = spark.read.option("basePath", sink).parquet(sink).toPandas()
+    assert len(first) > 0
+
+    _sh.move(_glob.glob(f"{src}/b1/part-*.parquet")[0], f"{src}/001.parquet")
+    _sh.rmtree(f"{src}/b1")
+    os.utime(f"{src}/001.parquet", (now - 30, now - 30))
+
+    run_chunk_append_sink(
+        stream_rollup_1m(read_transcript_stream(spark, src)), sink, ckpt
+    )
+    chunks = spark.read.option("basePath", sink).parquet(sink)
+    got_chunks = chunks.toPandas()
+
+    # exactly once: across ALL epoch dirs, no (conv, tier, p_day, metric,
+    # start_ts) chunk appears twice
+    assert not got_chunks.duplicated(
+        ["conv_id", "tier", "p_day", "metric", "start_ts"]
+    ).any()
+    assert got_chunks["batch_id"].nunique() >= 2  # both runs contributed
+
+    # TTL layout: tier/p_day dirs nest under each epoch dir
+    epoch_dirs = _glob.glob(f"{sink}/batch_id=*/tier=1m/p_day=*")
+    assert len(epoch_dirs) > 0
+
+    # decoded union == batch rollup on the closed-window region
+    pts = read_chunks(chunks).toPandas()
+    # pivot (not pivot_table) keeps the load-bearing nulls — an
+    # all-null-token window stores NaN in its chunk and must compare
+    # equal to the batch tier's null, not be silently dropped
+    wide = (
+        pts.pivot(index=["conv_id", "bucket_ts"], columns="metric", values="value")
+        .reset_index()
+        .rename_axis(None, axis=1)
+    )
+    want = rollup_raw(with_turn_metrics(transcripts_df), "1m").toPandas()
+    cutoff = transcripts_df.agg({"ts": "max"}).collect()[0][0] - pd.Timedelta(
+        "11 minutes"
+    )
+    w = want[want.bucket_ts < cutoff]
+    g = wide[wide.bucket_ts < cutoff]
+    mcols = ["turn_count", "token_sum", "tool_calls"]
+    cast = dict.fromkeys(mcols, "float64")
+    assert_pdf_equal(
+        g[["conv_id", "bucket_ts", *mcols]].astype(cast),
+        w[["conv_id", "bucket_ts", *mcols]].astype(cast),
+        ["conv_id", "bucket_ts"],
+    )
