@@ -1,5 +1,5 @@
 """Executor-count scaling (the north_rule's actual N-vs-4N shape): emulate
-executors as separate pinned 8-core Spark processes, data-parallel over
+executors as separate pinned Spark processes, data-parallel over
 conversation shards.
 
 Every pipeline stage keys by conv_id, so a shard-per-executor run produces
@@ -11,33 +11,39 @@ scheduler, allocator contention, auxiliary-thread spillover) pollute the
 measurement.
 
 Strong scaling (default): identical input at both levels.
-  N=1: one pinned local[8] process over all conversations.
-  N=4: four concurrent pinned local[8] processes, shard i of 4 each.
+  N=1: one pinned process over all conversations.
+  N=4: four concurrent pinned processes, shard i of 4 each.
   efficiency = throughput(4 exec) / (4 x throughput(1 exec)).
 
 Weak scaling (--weak): input grows with executors (each executor gets the
-same per-executor work — the bandwidth-tolerant supplementary protocol from
-VERDICT r5 item 1; on a real cluster this is "4x the nodes ingest 4x the
-days in the same wall time").
-  N=1: --n-convs N over one process.
-  N=4: --n-convs 4N, shard i of 4 each (= N convs per process).
-  efficiency = throughput(4 exec) / (4 x throughput(1 exec)) ~= wall1/wall4.
+same per-executor work; on a real cluster this is "4x the nodes ingest 4x
+the days in the same wall time").
 
-HOST GATING (VERDICT r5 item 1 — this box is a VM whose wide-width memory
-bandwidth collapses erratically; BENCH/scaling_r05.md): every attempt is
-BRACKETED by a STREAM-triad measurement at 8 and 32 pinned cores
-(BENCH/run_triad.py's fused instrument, in-process). An attempt only counts
-if, on BOTH brackets, the 32-wide aggregate bandwidth is at least
---gate-ratio x the 8-wide aggregate (a healthy memory system never loses
-aggregate bandwidth when widening 8 -> 32; the round-5 collapse windows
-showed 32-wide at 0.1-0.3x of 8-wide) AND the run's hypervisor steal stays
-under --max-steal-pct. Unfit windows are retried up to --max-attempts with
---wait-sec between them; every attempt's forensics (triad GB/s, ratios,
-steal) are recorded in the artifact either way, so a failing session leaves
-a committed host-unfit record instead of silence.
+HOST GATING (VERDICT r5 item 1). This box is a VM whose MEMORY BANDWIDTH IS
+HETEROGENEOUS PER vCPU — a per-core STREAM-triad probe measured 0.07 GB/s
+on one core and 12.3 GB/s on another IN THE SAME MINUTE (150x), with the
+dead set shifting across minutes (BENCH/scaling_r06.md). Aggregate
+fixed-core-range triads (the round-5 instrument) confound that lottery with
+engine scaling. So each attempt:
+
+1. PROBES every core serially (pinned 1-core triad each) and records the
+   per-core GB/s table;
+2. SELECTS the healthiest 4 x cores-per-exec cores; the attempt is unfit if
+   fewer than that clear --min-gbs-per-core (host globally starved);
+3. PINS the 1-exec level to the best cores-per-exec of the selection and
+   the 4-exec level to all of it — the same decision a real cluster
+   scheduler makes by draining unhealthy nodes. Giving the 1-exec level the
+   BEST cores biases efficiency DOWNWARD (the 4-exec level includes the
+   selection's tail), so a passing number is a lower bound, never flattered;
+4. RE-PROBES the selected cores afterwards — if any fell below the floor,
+   the host shifted mid-run and the attempt is discarded with forensics.
+
+Unfit windows retry up to --max-attempts with --wait-sec between; every
+attempt's per-core tables land in the artifact either way, so a failing
+session leaves a committed host-unfit record instead of silence.
 
 Usage: python BENCH/run_scaling_executors.py [--n-convs 100000] [--weak]
-       [--max-attempts 3] [--gate-ratio 1.0] [--max-steal-pct 3.0]
+       [--cores-per-exec 8] [--max-attempts 3] [--min-gbs-per-core 0.5]
 """
 
 from __future__ import annotations
@@ -54,17 +60,13 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
-CORES_PER_EXEC = 8
+N_CORES = os.cpu_count() or 32
 
 
 def cpu_ticks() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat. This box is a VM on a shared
-    host: hypervisor STEAL during a run is the dominant variance source
-    (measured collapses of concurrent 32-core-demand runs while 8-core runs
-    barely moved), so every scaling artifact records it — a run with
-    steal_pct more than a few % is a co-tenant artifact, not engine
-    behavior; rerun it. Returns (0, 0) on hosts without /proc (matching
-    bench.py's guard)."""
+    """(steal, total) jiffies from /proc/stat — hypervisor steal recorded
+    per level so co-tenant artifacts are attributable. (0, 0) without
+    /proc, matching bench.py."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
@@ -79,29 +81,33 @@ def steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     return round(100.0 * (after[0] - before[0]) / dt, 2) if dt else 0.0
 
 
-def triad_bracket(dur: float = 6.0) -> dict:
-    """8-wide and 32-wide aggregate STREAM-triad GB/s (run_triad.measure,
-    imported — one instrument, one accounting convention). The RATIO is the
-    gate: absolute GB/s on this VM swing minute-to-minute, but 32-wide
-    falling BELOW 8-wide is unambiguous host collapse."""
+def probe_cores(cores: list[int] | None = None, dur: float = 2.0) -> dict[int, float]:
+    """Serial per-core STREAM-triad (run_triad's fused out= kernel, one core
+    at a time) → {core: GB/s}. Serial so cores never contend with each
+    other — this measures the hypervisor's per-vCPU budget, nothing else."""
     sys.path.insert(0, str(Path(__file__).resolve().parent))
-    from run_triad import measure
+    from run_triad import _triad
 
-    g8 = measure(8, dur)
-    g32 = measure(32, dur)
-    return {"gbs_8": g8, "gbs_32": g32,
-            "ratio_32_over_8": round(g32 / g8, 3) if g8 else 0.0}
+    out: dict[int, float] = {}
+    for c in cores if cores is not None else range(N_CORES):
+        q: mp.Queue = mp.Queue()
+        p = mp.Process(target=_triad, args=(c, q, dur))
+        p.start()
+        p.join()
+        out[int(c)] = round(q.get(), 2)
+    return out
 
 
-def _cmd(cpu_lo: int, wd: str, n_convs: int, mega: int, seed: int, shard: int, nshards: int):
+def _cmd(core_list: list[int], wd: str, n_convs: int, mega: int, seed: int,
+         shard: int, nshards: int):
     return [
-        "taskset", "-c", f"{cpu_lo}-{cpu_lo + CORES_PER_EXEC - 1}",
+        "taskset", "-c", ",".join(str(c) for c in core_list),
         sys.executable, str(REPO / "jobs" / "rollup_job.py"),
         "--workdir", wd,
         "--n-convs", str(n_convs),
         "--mega-turns", str(mega),
         "--seed", str(seed),
-        "--cpus", str(CORES_PER_EXEC),
+        "--cpus", str(len(core_list)),
         "--buckets", "8",
         "--stats", "fast",
         "--shard-index", str(shard),
@@ -109,21 +115,22 @@ def _cmd(cpu_lo: int, wd: str, n_convs: int, mega: int, seed: int, shard: int, n
     ]
 
 
-def run_level(n_exec: int, n_convs: int, mega: int, seed: int) -> dict:
-    """One scaling level: n_exec concurrent pinned 8-core processes covering
-    conv shards 0..n_exec-1 of ``n_convs`` total conversations."""
+def run_level(assignments: list[list[int]], n_convs: int, mega: int, seed: int) -> dict:
+    """One scaling level: len(assignments) concurrent processes, executor i
+    pinned to assignments[i], covering conv shards 0..n-1 of ``n_convs``."""
+    n_exec = len(assignments)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     dirs, procs = [], []
     ticks0 = cpu_ticks()
     t0 = time.perf_counter()
-    for i in range(n_exec):
+    for i, cores in enumerate(assignments):
         wd = tempfile.mkdtemp(prefix=f"exec{n_exec}_{i}_", dir=base)
         sd = tempfile.mkdtemp(prefix=f"exec{n_exec}_{i}_shuffle_", dir=base)
         dirs += [wd, sd]
         env = dict(os.environ, SPARK_LOCAL_DIRS=sd)
         procs.append(
             subprocess.Popen(
-                _cmd(i * CORES_PER_EXEC, wd, n_convs, mega, seed, i, n_exec),
+                _cmd(cores, wd, n_convs, mega, seed, i, n_exec),
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
                 cwd=REPO, env=env,
             )
@@ -137,39 +144,56 @@ def run_level(n_exec: int, n_convs: int, mega: int, seed: int) -> dict:
         turns += json.loads(last)["turns"]
     for d in dirs:
         shutil.rmtree(d, ignore_errors=True)
-    return {"n_exec": n_exec, "wall_sec": round(wall, 2), "turns": turns,
-            "turns_per_sec": round(turns / wall, 1), "steal_pct": steal}
+    return {"n_exec": n_exec, "cores": assignments, "wall_sec": round(wall, 2),
+            "turns": turns, "turns_per_sec": round(turns / wall, 1),
+            "steal_pct": steal}
 
 
 def attempt(args) -> dict:
-    """One gated attempt: triad -> (gate) -> 1-exec -> 4-exec -> triad ->
-    (gate). Returns the full record; ``fit`` says whether it counts."""
+    """One gated attempt: per-core probe → select healthy cores → 1-exec →
+    4-exec → re-probe selection. ``fit`` says whether it counts."""
+    cpe = args.cores_per_exec
+    need = 4 * cpe
     rec: dict = {"mode": "weak" if args.weak else "strong"}
-    rec["triad_pre"] = triad_bracket(args.triad_dur)
-    if rec["triad_pre"]["ratio_32_over_8"] < args.gate_ratio:
+    pre = probe_cores(dur=args.probe_dur)
+    rec["probe_pre"] = pre
+    healthy = sorted(
+        (c for c, g in pre.items() if g >= args.min_gbs_per_core),
+        key=lambda c: -pre[c],
+    )
+    rec["n_healthy"] = len(healthy)
+    if len(healthy) < need:
         rec["fit"] = False
         rec["unfit_reason"] = (
-            f"pre-run triad collapse: 32-wide/8-wide = "
-            f"{rec['triad_pre']['ratio_32_over_8']} < {args.gate_ratio}"
+            f"only {len(healthy)}/{need} cores clear "
+            f"{args.min_gbs_per_core} GB/s (host starved/heterogeneous)"
         )
         return rec
+    sel = sorted(healthy[:need], key=lambda c: -pre[c])
+    # executor 0 (also the 1-exec level) gets the BEST cpe cores; the
+    # 4-exec level spans the whole selection incl. its tail → efficiency
+    # is a lower bound, never flattered by the core lottery
+    assignments = [sorted(sel[i * cpe:(i + 1) * cpe]) for i in range(4)]
+    rec["selected"] = {str(c): pre[c] for c in sel}
     if args.weak:
-        one = run_level(1, args.n_convs, args.mega_turns, args.seed)
-        four = run_level(4, 4 * args.n_convs, args.mega_turns, args.seed)
+        one = run_level(assignments[:1], args.n_convs, args.mega_turns, args.seed)
+        four = run_level(assignments, 4 * args.n_convs, args.mega_turns, args.seed)
     else:
-        one = run_level(1, args.n_convs, args.mega_turns, args.seed)
-        four = run_level(4, args.n_convs, args.mega_turns, args.seed)
+        one = run_level(assignments[:1], args.n_convs, args.mega_turns, args.seed)
+        four = run_level(assignments, args.n_convs, args.mega_turns, args.seed)
         assert one["turns"] == four["turns"], "shards must cover the same input"
     rec["one_exec"], rec["four_exec"] = one, four
     rec["efficiency"] = round(
         four["turns_per_sec"] / (4 * one["turns_per_sec"]), 3
     )
-    rec["triad_post"] = triad_bracket(args.triad_dur)
+    post = probe_cores(cores=sel, dur=args.probe_dur)
+    rec["probe_post"] = post
     reasons = []
-    if rec["triad_post"]["ratio_32_over_8"] < args.gate_ratio:
+    fell = [c for c in sel if post[c] < args.min_gbs_per_core]
+    if fell:
         reasons.append(
-            f"post-run triad collapse: 32-wide/8-wide = "
-            f"{rec['triad_post']['ratio_32_over_8']} < {args.gate_ratio}"
+            f"cores {fell} fell below {args.min_gbs_per_core} GB/s after "
+            "the run (host shifted mid-run)"
         )
     for lvl in (one, four):
         if lvl["steal_pct"] > args.max_steal_pct:
@@ -191,13 +215,15 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--weak", action="store_true",
                     help="weak scaling: input grows with executors")
+    ap.add_argument("--cores-per-exec", type=int, default=8)
     ap.add_argument("--max-attempts", type=int, default=3)
     ap.add_argument("--wait-sec", type=float, default=180.0,
                     help="pause between unfit windows before retrying")
-    ap.add_argument("--gate-ratio", type=float, default=1.0,
-                    help="min acceptable triad 32-wide/8-wide ratio")
     ap.add_argument("--max-steal-pct", type=float, default=3.0)
-    ap.add_argument("--triad-dur", type=float, default=6.0)
+    ap.add_argument("--min-gbs-per-core", type=float, default=0.5,
+                    help="per-core bandwidth floor a core must clear to be "
+                         "schedulable (and keep clearing post-run)")
+    ap.add_argument("--probe-dur", type=float, default=2.0)
     ap.add_argument("--out", default=str(REPO / "BENCH" / "SCALING_EXECUTORS.json"))
     args = ap.parse_args()
 
@@ -217,12 +243,13 @@ def main() -> None:
 
     result = {
         "protocol": (
-            "1 vs 4 emulated executors (pinned 8-core processes, conv shards), "
+            f"1 vs 4 emulated executors (pinned {args.cores_per_exec}-core "
+            "processes, conv shards), "
             + ("WEAK scaling (input prop. to executors), " if args.weak else "")
-            + "triad-bracket host-gated"
+            + "per-core-probe host-gated (healthiest-core scheduling)"
         ),
         "n_convs": args.n_convs,
-        "gate": {"min_triad_ratio": args.gate_ratio,
+        "gate": {"min_gbs_per_core": args.min_gbs_per_core,
                  "max_steal_pct": args.max_steal_pct},
         "attempts": attempts,
         "host_fit": final is not None,
@@ -235,8 +262,8 @@ def main() -> None:
         result["pass"] = final["efficiency"] >= 0.8
     else:
         result["verdict"] = (
-            "host unfit in every attempted window — forensics per attempt "
-            "above; engine scaling cannot be judged from this session"
+            "host unfit in every attempted window — per-core forensics per "
+            "attempt above; engine scaling cannot be judged from this session"
         )
     Path(args.out).write_text(json.dumps(result, indent=2))
     print(json.dumps(result))

@@ -357,6 +357,12 @@ def main() -> None:
                 io.compact(f"rollup_{tier}")
             else:
                 print(f"compact: rollup_{tier} not built, skipping", file=sys.stderr)
+        # the chunk table accumulates files per write/TTL-rewrite too;
+        # same skip-if-absent contract as the tiers
+        if io.exists("chunks"):
+            io.compact("chunks")
+        else:
+            print("compact: chunks not built, skipping", file=sys.stderr)
     summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
     summary["turns"] = summary["stages"]["ingest"]["rows"]
     summary["turns_per_sec"] = round(summary["turns"] / summary["total_wall_sec"], 1)
