@@ -35,7 +35,12 @@ engine scaling. So each attempt:
    scheduler makes by draining unhealthy nodes. Giving the 1-exec level the
    BEST cores biases efficiency DOWNWARD (the 4-exec level includes the
    selection's tail), so a passing number is a lower bound, never flattered;
-4. RE-PROBES the selected cores afterwards — if any fell below the floor,
+4. MEASURES the hardware scaling ceiling: concurrent triad aggregate on
+   exec-0's cores vs on all selected cores. On this single-bus box a
+   bandwidth-bound job cannot scale past that ratio; efficiency is
+   reported both raw and relative to the ceiling (on a real 4-node
+   cluster the ceiling is ~1.0 — a memory bus per node);
+5. RE-PROBES the selected cores afterwards — if any fell below the floor,
    the host shifted mid-run and the attempt is discarded with forensics.
 
 Unfit windows retry up to --max-attempts with --wait-sec between; every
@@ -96,6 +101,25 @@ def probe_cores(cores: list[int] | None = None, dur: float = 2.0) -> dict[int, f
         p.join()
         out[int(c)] = round(q.get(), 2)
     return out
+
+
+def triad_on(cores: list[int], dur: float = 3.0) -> float:
+    """CONCURRENT STREAM-triad aggregate GB/s on an explicit core set (one
+    pinned worker per core, all running together). Contrast with
+    probe_cores (serial): the gap between sum-of-serial-probes and this
+    concurrent aggregate IS the shared-bus contention a bandwidth-bound
+    job pays on this box — on a real cluster each node has its own bus
+    and the 4-node aggregate is ~4x by construction."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from run_triad import _triad
+
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=_triad, args=(c, q, dur)) for c in cores]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return round(sum(q.get() for _ in ps), 2)
 
 
 def _cmd(core_list: list[int], wd: str, n_convs: int, mega: int, seed: int,
@@ -175,6 +199,19 @@ def attempt(args) -> dict:
     # is a lower bound, never flattered by the core lottery
     assignments = [sorted(sel[i * cpe:(i + 1) * cpe]) for i in range(4)]
     rec["selected"] = {str(c): pre[c] for c in sel}
+    # hardware scaling ceiling: concurrent triad on exec-0's cores vs on
+    # ALL selected cores, same session. A bandwidth-bound job cannot scale
+    # past hw4/(4*hw1) on this box (single shared bus); the engine's
+    # efficiency is judged against that ceiling, not against an ideal the
+    # hardware itself can't reach. On a real 4-node cluster the ceiling is
+    # ~1.0 by construction (a bus per node).
+    hw1 = triad_on(assignments[0], args.probe_dur)
+    hw4 = triad_on(sel, args.probe_dur)
+    rec["hw_control"] = {
+        "agg_1exec_gbs": hw1,
+        "agg_4exec_gbs": hw4,
+        "bandwidth_scaling_ceiling": round(hw4 / (4 * hw1), 3) if hw1 else 0.0,
+    }
     if args.weak:
         one = run_level(assignments[:1], args.n_convs, args.mega_turns, args.seed)
         four = run_level(assignments, 4 * args.n_convs, args.mega_turns, args.seed)
@@ -186,6 +223,9 @@ def attempt(args) -> dict:
     rec["efficiency"] = round(
         four["turns_per_sec"] / (4 * one["turns_per_sec"]), 3
     )
+    ceil = rec["hw_control"]["bandwidth_scaling_ceiling"]
+    if ceil:
+        rec["eff_vs_hw_ceiling"] = round(rec["efficiency"] / ceil, 3)
     post = probe_cores(cores=sel, dur=args.probe_dur)
     rec["probe_post"] = post
     reasons = []
@@ -259,7 +299,13 @@ def main() -> None:
         result["one_exec"] = final["one_exec"]
         result["four_exec"] = final["four_exec"]
         result["efficiency"] = final["efficiency"]
+        result["hw_control"] = final["hw_control"]
+        result["eff_vs_hw_ceiling"] = final.get("eff_vs_hw_ceiling")
         result["pass"] = final["efficiency"] >= 0.8
+        result["pass_vs_hw_ceiling"] = (
+            final.get("eff_vs_hw_ceiling") is not None
+            and final["eff_vs_hw_ceiling"] >= 0.8
+        )
     else:
         result["verdict"] = (
             "host unfit in every attempted window — per-core forensics per "
