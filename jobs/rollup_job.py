@@ -323,6 +323,14 @@ def main() -> None:
         help="route filled/treated shuffles through an 8-byte xxhash64 "
         "conv surrogate (A/B lever; see run_pipeline docstring)",
     )
+    ap.add_argument(
+        "--backfill-table", default=None,
+        help="path to a parquet delta of late/corrected raw turns "
+        "(conv_id, turn_idx, role, text, tool, ts); applies it through "
+        "every pipeline table with conversation-scoped recompute + "
+        "partition-scoped merges instead of running the pipeline "
+        "(plans/backfill.py)",
+    )
     args = ap.parse_args()
 
     from pneuma_treatment_spark.session import get_spark
@@ -331,6 +339,19 @@ def main() -> None:
         "rollup-job", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if args.backfill_table:
+        from pneuma_treatment_spark.plans.backfill import backfill_pipeline
+
+        t0 = time.perf_counter()
+        summary = backfill_pipeline(
+            spark,
+            args.workdir,
+            spark.read.parquet(args.backfill_table),
+            n_buckets=args.buckets,
+        )
+        summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(summary))
+        return
     t0 = time.perf_counter()
     summary = run_pipeline(
         spark,

@@ -233,6 +233,33 @@ class TableIO:
         df = self.read(table).where(f"NOT ({predicate})")
         self._rewrite_swap(df, table, self._partition_dirs(table))
 
+    def drop_partitions(
+        self, table: str, parts: list[tuple], pcols: list[str]
+    ) -> int:
+        """Remove whole partition directories (Iceberg ``dropPartition`` /
+        ``DELETE WHERE <partition predicate>`` metadata-delete analog).
+
+        Needed by the backfill merge: dynamic partition overwrite can only
+        REPLACE partitions present in the written frame, so a partition
+        whose last row moved away (e.g. a corrected ``ts`` pulled the only
+        conversation out of a day) survives with stale rows unless dropped
+        explicitly. ``parts`` are value tuples aligned with ``pcols`` in
+        directory nesting order (as :meth:`_partition_dirs` returns them);
+        values must be Hive-dir-safe (dates/ints/plain strings — the only
+        partition value types this engine writes). Returns the number of
+        directories actually removed."""
+        jvm = self.spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.path(table))
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        dropped = 0
+        for vals in parts:
+            sub = "/".join(f"{c}={v}" for c, v in zip(pcols, vals))
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.path(table)}/{sub}")
+            if fs.exists(p):
+                fs.delete(p, True)
+                dropped += 1
+        return dropped
+
     def compact(self, table: str, advisory_bytes: str | None = "64m") -> None:
         """Small-file compaction (Iceberg ``rewriteDataFiles`` analog): the
         batch tables' repeated partition overwrites accumulate small files

@@ -1,0 +1,334 @@
+"""Late-data backfill: conversation-scoped incremental recompute, merged
+back with partition-scoped rewrites.
+
+north_rule context: at 10^12 turns, a batch of late or corrected turns
+(arriving past the streaming watermark, or a data-quality fix) cannot
+trigger a pipeline rebuild — that is a full-table rewrite of every stage.
+Every engine operator is per-conversation (gap-fill windows, treatment
+kernels, tier rollups, chunk encoding all partition by ``conv_id``;
+cross-tier exactness is integer-sum cascading, ``rollup.py``), so the
+minimal exact recompute unit is the *conversation*: re-run the pipeline
+for only the conversations the delta touches, then splice the results
+into each table, rewriting only the partitions those conversations live
+in. This is the Iceberg copy-on-write ``MERGE INTO`` shape — TableIO's
+dynamic partition overwrite replaces exactly the partitions present in
+the written frame (`tableio.py:82-103`), and
+:meth:`TableIO.drop_partitions` covers the one case dynamic overwrite
+cannot express (a partition whose last row moved away).
+
+Cost model at scale (what makes this 100 TB-viable):
+
+* recompute is O(sum of affected conversations' turns) — independent of
+  table size;
+* the merge reads only affected partitions: bucket-pruned where the
+  layout carries ``p_bucket`` (derivable from the affected conv_ids —
+  k/N of the table for k affected buckets), and partition-pruned to the
+  affected (day, bucket) set for the keep-side scan; on real Iceberg the
+  same predicate is metadata-pruned;
+* the rewrite touches only affected partitions (dynamic overwrite), so
+  write amplification is bounded by the affected conversations'
+  partition footprint, not the table.
+
+Semantics: the delta is an UPSERT keyed on ``(conv_id, turn_idx)`` — an
+existing key is replaced (text/ts/role corrections; a ``ts`` change may
+move the row across day partitions), a new key is inserted (late
+turns). Deletions are out of scope (the reference has no delete path
+either). Re-running the same delta is idempotent, which is also the
+crash-recovery story: a backfill killed between table merges is healed
+by re-running it (each per-table merge is independently idempotent).
+
+The recompute mirrors ``jobs/rollup_job.py:run_pipeline``'s stage builds
+(filled: `rollup_job.py:184-206`; treated: `rollup_job.py:207-232`;
+tiers/chunks: `rollup_job.py:233-270`) on the non-surrogate path; the
+anti-drift gate is ``tests/test_backfill.py``, which pins backfilled
+tables bit-equal to a from-scratch rebuild on the updated input.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pneuma_treatment_spark.compression.chunks import write_chunks
+from pneuma_treatment_spark.io.tableio import TableIO
+from pneuma_treatment_spark.operators.gapfill import gap_fill
+from pneuma_treatment_spark.operators.rollup import (
+    rollup_from_tier,
+    rollup_raw,
+    with_turn_metrics,
+)
+from pneuma_treatment_spark.operators.treatment import (
+    TreatmentConfig,
+    conv_anomaly_flags,
+    raw_anomaly_col,
+    treat_transcripts,
+)
+from pneuma_treatment_spark.plans.lineage import partition_counts
+
+#: chunked columns — must stay in lockstep with rollup_job.py's chunk stage
+_CHUNK_COLS = ["conv_id", "tier", "bucket_ts", "turn_count", "token_sum", "tool_calls"]
+
+#: OR-of-ANDs partition predicates stay pushdown-able up to this many
+#: partitions; beyond it the plan-size (Catalyst literal) tax outweighs the
+#: scan pruning and a broadcast semi-join takes over (bucket pruning still
+#: applies on bucketed layouts either way).
+_MAX_LITERAL_PARTS = 64
+
+
+def _affected_buckets(affected: DataFrame, n_buckets: int) -> list[int]:
+    rows = (
+        affected.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["b"] for r in rows)
+
+
+def _parts_filter(
+    df: DataFrame, pcols: list[str], parts: list[tuple], spark: SparkSession
+) -> DataFrame:
+    """Restrict ``df`` to the given partition-value tuples."""
+    if not parts:
+        return df.where(F.lit(False))
+    if len(parts) <= _MAX_LITERAL_PARTS:
+        pred = F.lit(False)
+        for vals in parts:
+            pred = pred | functools.reduce(
+                lambda a, b: a & b,
+                [F.col(c) == F.lit(v) for c, v in zip(pcols, vals)],
+            )
+        return df.where(pred)
+    pdf = spark.createDataFrame(parts, schema=df.select(*pcols).schema)
+    return df.join(F.broadcast(pdf), pcols, "left_semi")
+
+
+def merge_conv_scoped(
+    io: TableIO,
+    table: str,
+    new_rows: DataFrame,
+    affected: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key: str = "conv_id",
+) -> dict:
+    """Replace ``affected`` conversations' rows in ``table`` with
+    ``new_rows``, rewriting only the partitions either side touches.
+
+    The Iceberg ``MERGE INTO`` (copy-on-write) analog: keep-side rows of
+    the affected partitions are rewritten next to the recomputed rows via
+    dynamic partition overwrite; partitions whose last row moved away are
+    dropped explicitly (dynamic overwrite can only replace partitions
+    present in the written frame). Unaffected partitions are not read,
+    not written, not touched.
+    """
+    spark = io.spark
+    pcols = io._partition_dirs(table)
+    old = io.read(table)
+
+    nr = new_rows
+    if "p_day" in pcols and "p_day" not in nr.columns:
+        nr = nr.withColumn("p_day", F.to_date(F.col(ts_col)))
+    if "p_bucket" in pcols and "p_bucket" not in nr.columns:
+        nr = nr.withColumn(
+            "p_bucket",
+            F.pmod(F.xxhash64(F.col(key)), F.lit(io.n_buckets)).cast("int"),
+        )
+    nr = nr.persist()
+
+    if not pcols:
+        # layout without partition dirs: no partition-scoped path exists —
+        # fall back to a full anti-join rewrite (still conv-exact)
+        keep = old.join(affected, key, "left_anti")
+        out = keep.unionByName(nr.select(*old.columns))
+        removed = old.count() - keep.count()
+        added = nr.count()
+        io._guard_rewrite(table, "backfill-rewrite")
+        io._rewrite_swap(out, table, [])
+        nr.unpersist()
+        return {
+            "removed": removed, "added": added, "parts_rewritten": None,
+            "stale_dropped": 0, "aff_days": set(), "full_rewrite": True,
+        }
+
+    pruned = old
+    if "p_bucket" in pcols:
+        pruned = old.where(
+            F.col("p_bucket").isin(_affected_buckets(affected, io.n_buckets))
+        )
+    old_aff = pruned.join(affected, key, "left_semi")
+
+    # affected partitions = partitions of the affected convs' OLD rows
+    # (they must lose those rows even where the conv no longer has any)
+    # ∪ partitions of the recomputed rows. Only partition VALUES cross to
+    # the driver — bounded metadata, the same thing Iceberg's planner holds.
+    aff_parts = [
+        tuple(r)
+        for r in old_aff.select(*pcols).union(nr.select(*pcols)).distinct().collect()
+    ]
+    removed = old_aff.count()
+    added = nr.count()
+
+    keep = _parts_filter(pruned, pcols, aff_parts, spark).join(
+        affected, key, "left_anti"
+    )
+    out = keep.unionByName(nr.select(*old.columns))
+    # Partitions that lose their last row never appear in the written frame,
+    # so dynamic overwrite leaves their old files in place — they must be
+    # dropped explicitly. Collect the surviving-partition set from the
+    # frame BEFORE the write: afterwards `keep`'s captured file index
+    # points at files the overwrite just replaced.
+    present = {tuple(r) for r in out.select(*pcols).distinct().collect()}
+    io.write(out, table, partition_cols=pcols)  # dynamic overwrite: aff parts only
+    stale = [p for p in aff_parts if p not in present]
+    if stale:
+        io.drop_partitions(table, stale, pcols)
+
+    nr.unpersist()
+    day_i = pcols.index("p_day") if "p_day" in pcols else None
+    return {
+        "removed": removed,
+        "added": added,
+        "parts_rewritten": len(aff_parts),
+        "stale_dropped": len(stale),
+        "aff_days": {p[day_i] for p in aff_parts} if day_i is not None else set(),
+        "full_rewrite": False,
+    }
+
+
+def _update_lineage(io: TableIO, name: str, stats: dict) -> None:
+    """Keep the stage's lineage contract green after a backfill: splice
+    recounted affected days into the per-partition counts table and adjust
+    the manifest total (``verify_partition_lineage`` recounts
+    distributed and cross-checks both)."""
+    mpath = Path(io.root) / "_manifest" / f"{name}.json"
+    if not mpath.exists():
+        return
+    m = json.loads(mpath.read_text())
+    m["rows"] = int(m["rows"]) - stats["removed"] + stats["added"]
+    ppath = Path(io.root) / "_manifest" / f"{name}_partitions"
+    days = sorted(stats["aff_days"])
+    if ppath.exists() and days:
+        old = io.spark.read.parquet(str(ppath))
+        recount = partition_counts(io.read(name).where(F.col("p_day").isin(days)))
+        newc = old.where(~F.col("p_day").isin(days)).unionByName(recount)
+        tmp = str(ppath) + ".__rewrite__"
+        newc.repartition(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(str(ppath))
+        shutil.move(tmp, str(ppath))
+        m["n_partitions"] = io.spark.read.parquet(str(ppath)).count()
+    m["backfilled_at"] = time.time()
+    mpath.write_text(json.dumps(m, indent=2))
+
+
+def backfill_pipeline(
+    spark: SparkSession,
+    workdir: str,
+    delta: DataFrame,
+    cfg: TreatmentConfig | None = None,
+    chunked: bool | None = None,
+    n_buckets: int = 8,
+) -> dict:
+    """Apply a late/corrected-turn delta through every pipeline table.
+
+    ``delta``: raw transcript rows ``(conv_id, turn_idx, role, text, tool,
+    ts)`` — upsert keyed on (conv_id, turn_idx). ``chunked=None`` infers
+    the treatment mode from the existing ``filled`` table's layout.
+    Returns per-table merge stats. Assumes a single-shard workdir (sharded
+    deployments backfill through the shard that owns the conversations).
+    """
+    cfg = cfg or TreatmentConfig()
+    io = TableIO(spark, workdir, n_buckets=n_buckets)
+    delta = with_turn_metrics(delta)
+    affected = delta.select("conv_id").distinct().persist()
+    if affected.count() == 0:
+        affected.unpersist()
+        return {"tables": {}, "affected_convs": 0}
+
+    filled_cols = io.read("filled").columns
+    if chunked is None:
+        # run_pipeline writes raw_anomaly into filled exactly when chunked
+        # (rollup_job.py:196-203) — the table layout records the mode
+        chunked = "raw_anomaly" in filled_cols
+    elif chunked != ("raw_anomaly" in filled_cols):
+        raise ValueError(
+            "chunked flag contradicts the existing filled table layout "
+            f"(raw_anomaly {'present' if not chunked else 'absent'})"
+        )
+
+    # --- new raw rows for the affected conversations (upsert) -------------
+    old_ing = io.read("ingest")
+    pruned = old_ing.where(
+        F.col("p_bucket").isin(_affected_buckets(affected, io.n_buckets))
+    )
+    raw_aff = (
+        pruned.drop("p_day", "p_bucket")
+        .join(affected, "conv_id", "left_semi")
+        .join(delta.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti")
+        .unionByName(delta)
+        .persist()
+    )
+    raw_aff.count()  # materialize BEFORE any table rewrite invalidates scans
+
+    # --- recompute every stage for the affected conversations only --------
+    # (mirrors run_pipeline's builds — see module docstring for citations)
+    filled_new = gap_fill(
+        raw_aff.select(
+            "conv_id", "turn_idx", "role", "ts", "token_count", "is_tool_call"
+        ),
+        lerp_cols=("token_count",),
+        lerp_ts_cols=("ts",),
+    ).join(
+        raw_aff.select("conv_id", "turn_idx", "text", "tool"),
+        ["conv_id", "turn_idx"],
+        "left",
+    )
+    if chunked:
+        filled_new = filled_new.withColumn("raw_anomaly", raw_anomaly_col(cfg))
+    filled_new = filled_new.persist()
+    narrow = filled_new.select("conv_id", "turn_idx", "ts", "token_count", "is_filled")
+    flags = (
+        conv_anomaly_flags(filled_new.select("conv_id", "raw_anomaly"))
+        if chunked
+        else None
+    )
+    treated_new = treat_transcripts(narrow, cfg, chunked=chunked, flags=flags)
+    m1 = rollup_raw(raw_aff, "1m").persist()
+    h1 = rollup_from_tier(m1, "1m", "1h").persist()
+    d1 = rollup_from_tier(h1, "1h", "1d")
+    chunks_new = write_chunks(
+        m1.select(_CHUNK_COLS)
+        .unionByName(h1.select(_CHUNK_COLS))
+        .unionByName(d1.select(_CHUNK_COLS))
+    )
+
+    # --- partition-scoped merges + lineage upkeep --------------------------
+    tables = {}
+    for name, df, ts_col in (
+        ("ingest", raw_aff, "ts"),
+        ("filled", filled_new, "ts"),
+        ("treated", treated_new, "ts"),
+        ("rollup_1m", m1, "bucket_ts"),
+        ("rollup_1h", h1, "bucket_ts"),
+        ("rollup_1d", d1, "bucket_ts"),
+        ("chunks", chunks_new, "start_ts"),
+    ):
+        if not io.exists(name):
+            continue
+        stats = merge_conv_scoped(io, name, df, affected, ts_col=ts_col)
+        _update_lineage(io, name, stats)
+        tables[name] = {
+            k: stats[k] for k in ("removed", "added", "parts_rewritten", "stale_dropped")
+        }
+
+    n_aff = affected.count()
+    for p in (raw_aff, filled_new, m1, h1, affected):
+        p.unpersist()
+    return {"tables": tables, "affected_convs": n_aff}
