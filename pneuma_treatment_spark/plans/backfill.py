@@ -169,12 +169,17 @@ def merge_conv_scoped(
     # (they must lose those rows even where the conv no longer has any)
     # ∪ partitions of the recomputed rows. Only partition VALUES cross to
     # the driver — bounded metadata, the same thing Iceberg's planner holds.
-    aff_parts = [
-        tuple(r)
-        for r in old_aff.select(*pcols).union(nr.select(*pcols)).distinct().collect()
-    ]
-    removed = old_aff.count()
-    added = nr.count()
+    # The removed/added row counts ride the same two jobs as the partition
+    # discovery (the ops wall is dominated by fixed per-job overhead at
+    # small deltas — BENCH/run_backfill.py measures it).
+    old_parts = old_aff.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__n")).collect()
+    new_parts = nr.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__n")).collect()
+    removed = sum(r["__n"] for r in old_parts)
+    added = sum(r["__n"] for r in new_parts)
+    aff_parts = list(
+        {tuple(r[c] for c in pcols) for r in old_parts}
+        | {tuple(r[c] for c in pcols) for r in new_parts}
+    )
 
     keep = _parts_filter(pruned, pcols, aff_parts, spark).join(
         affected, key, "left_anti"
@@ -302,7 +307,7 @@ def backfill_pipeline(
     treated_new = treat_transcripts(narrow, cfg, chunked=chunked, flags=flags)
     m1 = rollup_raw(raw_aff, "1m").persist()
     h1 = rollup_from_tier(m1, "1m", "1h").persist()
-    d1 = rollup_from_tier(h1, "1h", "1d")
+    d1 = rollup_from_tier(h1, "1h", "1d").persist()
     chunks_new = write_chunks(
         m1.select(_CHUNK_COLS)
         .unionByName(h1.select(_CHUNK_COLS))
@@ -310,25 +315,41 @@ def backfill_pipeline(
     )
 
     # --- partition-scoped merges + lineage upkeep --------------------------
-    tables = {}
-    for name, df, ts_col in (
-        ("ingest", raw_aff, "ts"),
-        ("filled", filled_new, "ts"),
-        ("treated", treated_new, "ts"),
-        ("rollup_1m", m1, "bucket_ts"),
-        ("rollup_1h", h1, "bucket_ts"),
-        ("rollup_1d", d1, "bucket_ts"),
-        ("chunks", chunks_new, "start_ts"),
-    ):
-        if not io.exists(name):
-            continue
+    # The seven table merges are independent (each rewrites only its own
+    # table; the recomputes read the persisted upstream frames, never the
+    # tables being rewritten) — run them concurrently so the ops wall is
+    # max(table merge), not the sum of ~30 driver-synchronous small jobs
+    # (backfill wall is fixed-overhead-dominated at small deltas; concurrent
+    # jobs interleave at task granularity even under the default FIFO
+    # scheduler, so idle driver-sync gaps overlap other tables' work).
+    jobs = [
+        (name, df, ts_col)
+        for name, df, ts_col in (
+            ("ingest", raw_aff, "ts"),
+            ("filled", filled_new, "ts"),
+            ("treated", treated_new, "ts"),
+            ("rollup_1m", m1, "bucket_ts"),
+            ("rollup_1h", h1, "bucket_ts"),
+            ("rollup_1d", d1, "bucket_ts"),
+            ("chunks", chunks_new, "start_ts"),
+        )
+        if io.exists(name)
+    ]
+
+    def _one(job):
+        name, df, ts_col = job
         stats = merge_conv_scoped(io, name, df, affected, ts_col=ts_col)
         _update_lineage(io, name, stats)
-        tables[name] = {
+        return name, {
             k: stats[k] for k in ("removed", "added", "parts_rewritten", "stale_dropped")
         }
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(jobs)))) as ex:
+        tables = dict(ex.map(_one, jobs))
+
     n_aff = affected.count()
-    for p in (raw_aff, filled_new, m1, h1, affected):
+    for p in (raw_aff, filled_new, m1, h1, d1, affected):
         p.unpersist()
     return {"tables": tables, "affected_convs": n_aff}

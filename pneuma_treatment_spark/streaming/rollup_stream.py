@@ -11,6 +11,12 @@ batch buckets for closed windows (tests/test_streaming.py).
 At scale this runs as a continuous ingest job feeding the raw tier; the
 batch cascade (1m→1h→1d) then reads closed buckets — streaming only ever
 owns the hot end of the timeline.
+
+Rows the watermark drops are not lost: they are exactly the delta shape
+:mod:`..plans.backfill` re-admits (conversation-scoped recompute +
+partition-scoped merge through every tier) — route the dead-letter side
+of the ingest there. Together they are the lambda closure: streaming owns
+the hot end, backfill heals the cold end.
 """
 
 from __future__ import annotations
