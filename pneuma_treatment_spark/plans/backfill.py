@@ -252,8 +252,24 @@ def backfill_pipeline(
     cfg = cfg or TreatmentConfig()
     io = TableIO(spark, workdir, n_buckets=n_buckets)
     delta = with_turn_metrics(delta)
+    # Loud contract on the upsert key: a duplicate (conv_id, turn_idx) in
+    # the delta would survive the anti-join and insert BOTH rows — silent
+    # duplication through every downstream table. Null keys would vanish
+    # from the joins instead of erroring. One counting job checks both.
+    chk = delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("conv_id", "turn_idx").alias("d"),
+        F.count(F.when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(), 1)).alias("nulls"),
+    ).first()
+    if chk["nulls"]:
+        raise ValueError(f"backfill delta has {chk['nulls']} rows with null (conv_id, turn_idx)")
+    if chk["n"] != chk["d"]:
+        raise ValueError(
+            f"backfill delta has {chk['n'] - chk['d']} duplicate (conv_id, turn_idx) keys "
+            "— resolve to one row per key before applying"
+        )
     affected = delta.select("conv_id").distinct().persist()
-    if affected.count() == 0:
+    if chk["n"] == 0:
         affected.unpersist()
         return {"tables": {}, "affected_convs": 0}
 
