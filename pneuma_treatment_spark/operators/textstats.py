@@ -177,3 +177,45 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             F.concat_ws(" ", F.sort_array(F.array_distinct(toks))).cast("binary")
         ).alias("token_set_hash"),
     )
+
+
+#: PII patterns, applied IN ORDER — longest/most-specific digit shapes
+#: first so a credit-card run is not half-eaten by the phone pattern, and
+#: SSN before phone so 123-45-6789 doesn't parse as a partial phone. Java
+#: regex (regexp_replace/regexp_count run JVM-side, whole-stage codegen).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("CARD", r"(?<![\d-])\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}(?![\d-])"),
+    ("SSN", r"(?<![\d-])\d{3}-\d{2}-\d{4}(?![\d-])"),
+    ("PHONE", r"(?<![\d-])(?:\+?\d{1,2}[\s.-])?(?:\(\d{3}\)\s?|\d{3}[\s.-])\d{3}[\s.-]\d{4}(?![\d-])"),
+    ("IPV4", r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Scrub PII from a text column — the standard training-data pipeline
+    stage between ingest and tokenization. Emails, card/SSN/phone number
+    shapes, and bare IPv4s are replaced with ``[TYPE]`` placeholders, and a
+    per-row ``n_pii`` count (the number of substitutions actually made,
+    accumulated in pattern order) supports threshold filtering and corpus
+    audits.
+
+    Pure chained ``regexp_replace``/``regexp_count`` column expressions —
+    one projection, JVM-side, no UDFs, null text passes through null (the
+    load-bearing-null convention). Pattern order matters: see
+    ``PII_PATTERNS``. ``out_col=None`` redacts in place. NOTE: this
+    operator is NOT part of the rollup pipeline (whose per-turn text
+    byte-equality invariant, tests/test_text_invariant.py, forbids any
+    text rewrite); it is an explicit corpus-preparation transform.
+    """
+    out_col = out_col or text_col
+    red = F.col(text_col)
+    n = F.lit(0)
+    for tag, pat in PII_PATTERNS:
+        n = n + F.regexp_count(red, F.lit(pat))
+        red = F.regexp_replace(red, pat, f"[{tag}]")
+    return docs.withColumn("n_pii", F.when(F.col(text_col).isNotNull(), n)).withColumn(
+        out_col, red
+    )

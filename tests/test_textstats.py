@@ -32,3 +32,34 @@ def test_quality_features_ratios(spark):
     assert out[1]["n_tokens"] == 6
     assert out[1]["stopword_ratio"] == 3 / 6  # the, on, the
     assert out[2]["digit_ratio"] > 0.5
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from pneuma_treatment_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk today"),
+        (2, "card 4111 1111 1111 1111 and ssn 123-45-6789"),
+        (3, "call (555) 123-4567 or +1 555.123.4567"),
+        (4, "host 192.168.0.1 port 8080"),
+        (5, "clean text, no pii at all"),
+        (6, None),
+        (7, "version 1.2.3.4.5 is not an ip"),   # 5 dotted groups → lookahead blocks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["text"] == "mail me at [EMAIL] today" and out[1]["n_pii"] == 1
+    assert out[2]["text"] == "card [CARD] and ssn [SSN]" and out[2]["n_pii"] == 2
+    assert out[3]["text"] == "call [PHONE] or [PHONE]" and out[3]["n_pii"] == 2
+    assert out[4]["text"] == "host [IPV4] port 8080" and out[4]["n_pii"] == 1
+    assert out[5]["text"] == rows[4][1] and out[5]["n_pii"] == 0
+    assert out[6]["text"] is None and out[6]["n_pii"] is None
+    assert out[7]["n_pii"] == 0  # over-long dotted run left intact
+
+
+def test_redact_pii_out_col_preserves_original(spark):
+    from pneuma_treatment_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame([(1, "a@b.io")], "doc_id long, text string")
+    r = redact_pii(docs, out_col="clean").collect()[0]
+    assert r["text"] == "a@b.io" and r["clean"] == "[EMAIL]" and r["n_pii"] == 1
