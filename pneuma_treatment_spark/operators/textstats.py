@@ -219,3 +219,44 @@ def redact_pii(
     return docs.withColumn("n_pii", F.when(F.col(text_col).isNotNull(), n)).withColumn(
         out_col, red
     )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    key: str = "conv_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, key-scoped train/val/test assignment.
+
+    Every row with the same ``key`` lands in the same split — the unit is
+    the conversation, not the turn, so multi-turn context never straddles
+    an eval boundary (the classic transcript-corpus leakage bug). The
+    assignment is a pure function of (key, seed): stable across runs,
+    partitionings, and cluster sizes; re-running with the same seed on
+    grown data keeps every previously-assigned key in its split (new keys
+    fill in at the same ratios). One JVM column expression — no sampling
+    state, no driver randomness.
+    """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    # uniform in [0, 1): low 31 bits of the seeded key hash (unsigned, exact)
+    u = (F.abs(F.xxhash64(F.col(key), F.lit(seed))) % F.lit(1 << 31)) / F.lit(
+        float(1 << 31)
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        expr = (
+            F.when(u < F.lit(acc), F.lit(name))
+            if expr is None
+            else expr.when(u < F.lit(acc), F.lit(name))
+        )
+    last = F.lit(names[-1])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))

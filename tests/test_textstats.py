@@ -63,3 +63,58 @@ def test_redact_pii_out_col_preserves_original(spark):
     docs = spark.createDataFrame([(1, "a@b.io")], "doc_id long, text string")
     r = redact_pii(docs, out_col="clean").collect()[0]
     assert r["text"] == "a@b.io" and r["clean"] == "[EMAIL]" and r["n_pii"] == 1
+
+
+def test_split_assign_is_deterministic_and_conv_scoped(spark):
+    from pneuma_treatment_spark.operators.textstats import split_assign
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(
+        F.concat(F.lit("c"), (F.col("id") % 800).cast("string")).alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(df, w, seed=3)
+    # every turn of a conversation lands in the same split
+    assert out.groupBy("conv_id").agg(
+        F.count_distinct("split").alias("n")
+    ).agg(F.max("n")).first()[0] == 1
+    # pure function of (key, seed): identical across invocations…
+    a = {r["conv_id"]: r["split"] for r in out.select("conv_id", "split").distinct().collect()}
+    b = {
+        r["conv_id"]: r["split"]
+        for r in split_assign(df, w, seed=3).select("conv_id", "split").distinct().collect()
+    }
+    assert a == b
+    # …and stable when the corpus grows: the original keys keep their split
+    grown = spark.range(8000).select(
+        F.concat(F.lit("c"), (F.col("id") % 1600).cast("string")).alias("conv_id")
+    )
+    g = {
+        r["conv_id"]: r["split"]
+        for r in split_assign(grown, w, seed=3).select("conv_id", "split").distinct().collect()
+    }
+    assert all(g[k] == v for k, v in a.items())
+    # conv-level ratios near the weights
+    from collections import Counter
+    frac = Counter(a.values())
+    assert abs(frac["train"] / 800 - 0.8) < 0.05
+    # different seed reshuffles
+    c = {
+        r["conv_id"]: r["split"]
+        for r in split_assign(df, w, seed=4).select("conv_id", "split").distinct().collect()
+    }
+    assert a != c
+
+
+def test_split_assign_validates_weights(spark):
+    import pytest as _pytest
+    from pneuma_treatment_spark.operators.textstats import split_assign
+
+    df = spark.createDataFrame([("c1",)], ["conv_id"])
+    with _pytest.raises(ValueError):
+        split_assign(df, {})
+    with _pytest.raises(ValueError):
+        split_assign(df, {"a": -1.0, "b": 2.0})
+    with _pytest.raises(ValueError):
+        split_assign(df, {"a": 0.0})
