@@ -260,3 +260,49 @@ def split_assign(
         )
     last = F.lit(names[-1])
     return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (the Gopher/CCNet quality rules):
+    the fraction of duplicate lines and duplicate word n-grams (n=2,3)
+    within each document. High values flag boilerplate, scraped templates,
+    and degenerate generations for corpus filtering.
+
+    Pure array/HOF column math — token n-grams are built with
+    ``transform`` over a ``sequence`` of positions (NB the HOF arity trap:
+    the 1-param lambda receives the sequence element, which IS the
+    position) and measured as ``1 − distinct/total``. Empty and null
+    texts pass through with null fractions (load-bearing nulls).
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda ln: F.trim(ln) != ""
+    )
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(arr)).cast("double") / n
+        )
+
+    def ngrams(arr: Column, n: int) -> Column:
+        # positions 0..size-n, each mapped to the joined n-gram. The stop is
+        # clamped to 0: sequence(0, negative) THROWS even under a when()
+        # guard (branch expressions are still constructed), so short arrays
+        # yield one degenerate gram that the caller's size guard nulls out.
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j + 1) for j in range(n)]),
+        )
+
+    return (
+        docs.withColumn("dup_line_frac", dup_frac(lines))
+        .withColumn(
+            "dup_2gram_frac",
+            F.when(F.size(toks) >= 2, dup_frac(ngrams(toks, 2))),
+        )
+        .withColumn(
+            "dup_3gram_frac",
+            F.when(F.size(toks) >= 3, dup_frac(ngrams(toks, 3))),
+        )
+    )

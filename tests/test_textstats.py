@@ -118,3 +118,30 @@ def test_split_assign_validates_weights(spark):
         split_assign(df, {"a": -1.0, "b": 2.0})
     with _pytest.raises(ValueError):
         split_assign(df, {"a": 0.0})
+
+
+def test_repetition_stats_hand_values(spark):
+    from pneuma_treatment_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "a b\na b\nc d"),        # 3 lines, "a b" dup → 1/3; toks a b a b c d
+        (2, "x y z"),                # no repetition
+        (3, "go go go go"),          # degenerate repetition
+        (4, "one"),                  # too short for 2/3-grams
+        (5, ""),                     # empty → null fracs
+        (6, None),                   # null text → null fracs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert abs(out[1]["dup_line_frac"] - 1 / 3) < 1e-9
+    # 2-grams of (a b a b c d): ab ba ab bc cd → 5 total, 4 distinct
+    assert abs(out[1]["dup_2gram_frac"] - 1 / 5) < 1e-9
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+    # go x4: 3 bigrams all "go go" → 2/3 dup; 2 trigrams identical → 1/2
+    assert abs(out[3]["dup_2gram_frac"] - 2 / 3) < 1e-9
+    assert abs(out[3]["dup_3gram_frac"] - 1 / 2) < 1e-9
+    assert out[4]["dup_2gram_frac"] is None and out[4]["dup_3gram_frac"] is None
+    assert out[4]["dup_line_frac"] == 0.0
+    assert out[5]["dup_line_frac"] is None
+    assert out[6]["dup_line_frac"] is None and out[6]["dup_3gram_frac"] is None
