@@ -782,7 +782,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN len(toks) = 0 THEN NULL
                 ELSE CAST(len(list_filter(toks, x -> list_contains(
                     ['the','a','of','to','and','in','is','for','on','with'], x)))
-                    AS DOUBLE) / len(toks) END AS stop_ratio
+                    AS DOUBLE) / len(toks) END AS stop_ratio,
+           CASE WHEN len(toks) >= 2 THEN
+                1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                    / (len(toks) - 1) END AS dup_2gram_frac,
+           CASE WHEN len(toks) >= 3 THEN
+                1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+                    / (len(toks) - 2) END AS dup_3gram_frac
     FROM t
     """,
 )
@@ -792,7 +800,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting undercounts punctuation-heavy text badly; lookahead-free so
     RE2 and Java regex agree), stopword count/ratio. One documents scan
     covers the three text-analysis ops (the driver records at most 50 query
-    rows, so single-scan column families share a slot)."""
+    rows, so single-scan column families share a slot). Round 6 folds the
+    Gopher-style duplicate-n-gram fractions (repetition_stats' math, here
+    over the un-lowered query tokens) into the same scan — both sides
+    compute 1.0 − distinct/total as one IEEE division, so the hash gate
+    holds exactly."""
     from pneuma_treatment_spark.operators.textstats import BPE_TOKEN_RE
 
     d = _load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -803,12 +815,31 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.size(F.filter(F.col("__toks"), lambda x: x.isin(_STOPWORDS)))
     n = F.size(F.col("__toks"))
     nbpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+    def dup_frac(k: int):
+        # n-gram at position i joins elements i+1..i+k (element_at is
+        # 1-based); sequence stop clamped ≥0 (sequence(0, negative) throws
+        # even under the when() guard); denominator is the exact gram count
+        # n-k+1 so both engines divide the same two integers once
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__toks"), i + j + 1) for j in range(k)]
+            ),
+        )
+        return F.when(
+            n >= k,
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / (n - k + 1),
+        )
+
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
         nbpe.alias("n_bpe_tokens"),
         stop.alias("stop_cnt"),
         F.when(n > 0, stop.cast("double") / n).alias("stop_ratio"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
     )
 
 
