@@ -27,21 +27,14 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 from jobs.rollup_job import run_pipeline  # noqa: E402
+
+sys.path.insert(0, str(REPO / "BENCH"))
+from hostmeta import cpu_ticks, steal_pct  # noqa: E402  (shared (steal, total) helper)
 from pneuma_treatment_spark.io.tableio import TableIO  # noqa: E402
 from pneuma_treatment_spark.plans.backfill import backfill_pipeline  # noqa: E402
 from pneuma_treatment_spark.session import get_spark  # noqa: E402
 
 RAW_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-
-
-def cpu_ticks():
-    try:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()
-        vals = [int(x) for x in parts[1:]]
-        return sum(vals), vals[7] if len(vals) > 7 else 0
-    except OSError:
-        return (0, 0)
 
 
 def leaf_partition_dirs(table_path: str) -> int:
@@ -87,7 +80,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    t0, (tk0, st0) = time.perf_counter(), cpu_ticks()
+    t0, ticks0 = time.perf_counter(), cpu_ticks()
     run_pipeline(spark, wd_a, n_convs=args.n_convs, seed=42, mega_turns=20000)
     build_wall = time.perf_counter() - t0
 
@@ -136,8 +129,7 @@ def main() -> None:
     run_pipeline(spark, wd_b, n_convs=args.n_convs, seed=42, mega_turns=20000,
                  input_table=upd)
     rebuild_wall = time.perf_counter() - t0
-    (tk1, st1) = cpu_ticks()
-    steal = round(100.0 * (st1 - st0) / max(1, tk1 - tk0), 2)
+    steal = steal_pct(ticks0, cpu_ticks())
 
     out = {
         "n_convs": args.n_convs,

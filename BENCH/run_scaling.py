@@ -28,19 +28,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "BENCH"))
+from hostmeta import cpu_ticks  # noqa: E402  (shared (steal, total) helper)
 
-
-def cpu_ticks() -> tuple[int, int]:
-    """(steal, total) jiffies — hypervisor steal is this shared-host VM's
-    dominant variance source; see run_scaling_executors.cpu_ticks. Returns
-    (0, 0) on hosts without /proc (matching bench.py's guard) — steal_pct
-    then reads 0 instead of crashing the harness."""
-    try:
-        with open("/proc/stat") as f:
-            vals = [int(x) for x in f.readline().split()[1:]]
-    except OSError:
-        return 0, 0
-    return vals[7] if len(vals) > 7 else 0, sum(vals)
 
 
 def run_once(

@@ -65,25 +65,10 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "BENCH"))
+from hostmeta import cpu_ticks, steal_pct  # noqa: E402  (shared (steal, total) helper)
+
 N_CORES = os.cpu_count() or 32
-
-
-def cpu_ticks() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat — hypervisor steal recorded
-    per level so co-tenant artifacts are attributable. (0, 0) without
-    /proc, matching bench.py."""
-    try:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()[1:]
-    except OSError:
-        return 0, 0
-    vals = [int(x) for x in parts]
-    return vals[7] if len(vals) > 7 else 0, sum(vals)
-
-
-def steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
-    dt = after[1] - before[1]
-    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt else 0.0
 
 
 def probe_cores(cores: list[int] | None = None, dur: float = 2.0) -> dict[int, float]:
@@ -98,8 +83,18 @@ def probe_cores(cores: list[int] | None = None, dur: float = 2.0) -> dict[int, f
         q: mp.Queue = mp.Queue()
         p = mp.Process(target=_triad, args=(c, q, dur))
         p.start()
-        p.join()
-        out[int(c)] = round(q.get(), 2)
+        p.join(dur * 10 + 30)
+        # a probe child that died (sched_setaffinity EINVAL under a
+        # restricted cpuset, OOM) or hung must record 0.0 — an unhealthy
+        # core the gate rejects — never block the session on q.get()
+        try:
+            val = q.get(timeout=5.0)
+        except Exception:
+            val = 0.0
+        if p.is_alive():
+            p.terminate()
+            p.join()
+        out[int(c)] = round(val, 2)
     return out
 
 
@@ -118,8 +113,20 @@ def triad_on(cores: list[int], dur: float = 3.0) -> float:
     for p in ps:
         p.start()
     for p in ps:
-        p.join()
-    return round(sum(q.get() for _ in ps), 2)
+        p.join(dur * 10 + 30)
+    total = 0.0
+    for p in ps:
+        # a dead/hung worker contributes 0 → the aggregate (and thus the
+        # hw ceiling) reads low and the window records unfit — never hang
+        try:
+            total += q.get(timeout=5.0)
+        except Exception:
+            pass
+    for p in ps:
+        if p.is_alive():
+            p.terminate()
+            p.join()
+    return round(total, 2)
 
 
 def _cmd(core_list: list[int], wd: str, n_convs: int, mega: int, seed: int,

@@ -342,6 +342,13 @@ def main() -> None:
     if args.backfill_table:
         from pneuma_treatment_spark.plans.backfill import backfill_pipeline
 
+        if args.shard_count != 1:
+            ap.error(
+                "--backfill-table does not compose with sharding: the delta "
+                "would upsert every conversation into THIS shard's tables, "
+                "duplicating conversations owned by other shards. Pre-filter "
+                "the delta to the owning shard and run with --shard-count 1."
+            )
         t0 = time.perf_counter()
         summary = backfill_pipeline(
             spark,

@@ -209,7 +209,10 @@ class TableIO:
         # nesting order (outer→inner): the single top-level listing the old
         # code did missed every nested level, so a compact/TTL rewrite of a
         # p_day×p_bucket (or tier×p_day chunk) table silently flattened the
-        # inner level out of the directory layout.
+        # inner level out of the directory layout. The branch to descend is
+        # the first entry that still HAS partition children — an emptied
+        # husk (a dir whose leaf drop_partitions removed) would otherwise
+        # truncate the detected layout at its level.
         cols: list[str] = []
         while True:
             entries = [
@@ -220,7 +223,17 @@ class TableIO:
             if not entries:
                 return cols
             cols.append(entries[0].getPath().getName().split("=", 1)[0])
-            p = entries[0].getPath()
+            nxt = None
+            for st in entries:
+                if any(
+                    c.isDirectory() and "=" in c.getPath().getName()
+                    for c in fs.listStatus(st.getPath())
+                ):
+                    nxt = st.getPath()
+                    break
+            if nxt is None:
+                return cols  # leaf level everywhere — layout complete
+            p = nxt
 
     def delete_where(self, table: str, predicate: str) -> None:
         """Partition-level TTL delete (Iceberg ``DELETE WHERE`` analog):
@@ -258,6 +271,17 @@ class TableIO:
             if fs.exists(p):
                 fs.delete(p, True)
                 dropped += 1
+            # prune now-empty ancestor dirs: an emptied outer level (e.g.
+            # p_day=X/ after its last p_bucket leaf is dropped) is a husk
+            # that layout detection and future drops must not trip over
+            parent = p.getParent()
+            while (
+                str(parent) != str(root)
+                and fs.exists(parent)
+                and len(fs.listStatus(parent)) == 0
+            ):
+                fs.delete(parent, False)
+                parent = parent.getParent()
         return dropped
 
     def compact(self, table: str, advisory_bytes: str | None = "64m") -> None:

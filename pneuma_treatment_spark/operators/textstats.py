@@ -262,47 +262,55 @@ def split_assign(
     return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
 
 
+def dup_ngram_frac(arr: Column, k: int) -> Column:
+    """Duplicate word-k-gram fraction of a token array: ``1 −
+    distinct/total``, null when the array holds fewer than ``k`` tokens.
+
+    THE shared kernel for the Gopher-style repetition signals — used by
+    :func:`repetition_stats` and hash-gated through the ``quality_score``
+    driver slot (queries.py), whose DuckDB twin transliterates exactly
+    this: grams joined with single spaces, denominator the exact gram
+    count ``n−k+1``, one IEEE division. Change it here and the oracle
+    twin together or the hash gate fails.
+
+    Mechanics: grams via ``transform`` over a position ``sequence`` (NB
+    the HOF arity trap — the 1-param lambda receives the sequence
+    element, which IS the position; ``element_at`` is 1-based). The
+    sequence stop is clamped to 0 because ``sequence(0, negative)``
+    THROWS even under a ``when()`` guard; the size guard then nulls the
+    degenerate gram out.
+    """
+    n = F.size(arr)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j + 1) for j in range(k)]),
+    )
+    return F.when(
+        n >= k, 1.0 - F.size(F.array_distinct(grams)).cast("double") / (n - k + 1)
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Intra-document repetition signals (the Gopher/CCNet quality rules):
     the fraction of duplicate lines and duplicate word n-grams (n=2,3)
     within each document. High values flag boilerplate, scraped templates,
-    and degenerate generations for corpus filtering.
-
-    Pure array/HOF column math — token n-grams are built with
-    ``transform`` over a ``sequence`` of positions (NB the HOF arity trap:
-    the 1-param lambda receives the sequence element, which IS the
-    position) and measured as ``1 − distinct/total``. Empty and null
-    texts pass through with null fractions (load-bearing nulls).
+    and degenerate generations for corpus filtering. Pure array/HOF column
+    math (:func:`dup_ngram_frac`); empty and null texts pass through with
+    null fractions (load-bearing nulls).
     """
     lines = F.filter(
         F.split(F.col(text_col), r"\n"), lambda ln: F.trim(ln) != ""
     )
     toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
-
-    def dup_frac(arr: Column) -> Column:
-        n = F.size(arr)
-        return F.when(
-            n > 0, 1.0 - F.size(F.array_distinct(arr)).cast("double") / n
-        )
-
-    def ngrams(arr: Column, n: int) -> Column:
-        # positions 0..size-n, each mapped to the joined n-gram. The stop is
-        # clamped to 0: sequence(0, negative) THROWS even under a when()
-        # guard (branch expressions are still constructed), so short arrays
-        # yield one degenerate gram that the caller's size guard nulls out.
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j + 1) for j in range(n)]),
-        )
-
+    n_lines = F.size(lines)
     return (
-        docs.withColumn("dup_line_frac", dup_frac(lines))
-        .withColumn(
-            "dup_2gram_frac",
-            F.when(F.size(toks) >= 2, dup_frac(ngrams(toks, 2))),
+        docs.withColumn(
+            "dup_line_frac",
+            F.when(
+                n_lines > 0,
+                1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+            ),
         )
-        .withColumn(
-            "dup_3gram_frac",
-            F.when(F.size(toks) >= 3, dup_frac(ngrams(toks, 3))),
-        )
+        .withColumn("dup_2gram_frac", dup_ngram_frac(toks, 2))
+        .withColumn("dup_3gram_frac", dup_ngram_frac(toks, 3))
     )

@@ -219,6 +219,10 @@ def _update_lineage(io: TableIO, name: str, stats: dict) -> None:
     m = json.loads(mpath.read_text())
     m["rows"] = int(m["rows"]) - stats["removed"] + stats["added"]
     ppath = Path(io.root) / "_manifest" / f"{name}_partitions"
+    aside = Path(str(ppath) + ".__old__")
+    if not ppath.exists() and aside.exists():
+        # heal a crash between the two renames of a previous backfill
+        shutil.move(str(aside), str(ppath))
     days = sorted(stats["aff_days"])
     if ppath.exists() and days:
         old = io.spark.read.parquet(str(ppath))
@@ -226,8 +230,14 @@ def _update_lineage(io: TableIO, name: str, stats: dict) -> None:
         newc = old.where(~F.col("p_day").isin(days)).unionByName(recount)
         tmp = str(ppath) + ".__rewrite__"
         newc.repartition(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(str(ppath))
+        # swap via rename-aside, never delete-before-replace: a crash at
+        # any point leaves either the old or the new table restorable (the
+        # heal above re-runs the aside rename), so the documented
+        # re-run-the-delta recovery actually recovers
+        shutil.rmtree(aside, ignore_errors=True)
+        shutil.move(str(ppath), str(aside))
         shutil.move(tmp, str(ppath))
+        shutil.rmtree(aside, ignore_errors=True)
         m["n_partitions"] = io.spark.read.parquet(str(ppath)).count()
     m["backfilled_at"] = time.time()
     mpath.write_text(json.dumps(m, indent=2))
@@ -245,11 +255,27 @@ def backfill_pipeline(
 
     ``delta``: raw transcript rows ``(conv_id, turn_idx, role, text, tool,
     ts)`` — upsert keyed on (conv_id, turn_idx). ``chunked=None`` infers
-    the treatment mode from the existing ``filled`` table's layout.
+    the treatment mode from the existing ``filled`` table's layout;
+    ``cfg=None`` adopts the treatment config recorded in the ``filled``
+    manifest (an explicit ``cfg`` that contradicts the recorded one is a
+    loud error — recomputing affected conversations under different
+    parameters would silently mix treatment semantics within one table).
     Returns per-table merge stats. Assumes a single-shard workdir (sharded
-    deployments backfill through the shard that owns the conversations).
+    deployments backfill through the shard that owns the conversations;
+    the CLI rejects ``--shard-count > 1``).
     """
-    cfg = cfg or TreatmentConfig()
+    recorded = None
+    fm = Path(workdir) / "_manifest" / "filled.json"
+    if fm.exists():
+        recorded = (json.loads(fm.read_text()).get("config") or {}).get("treatment")
+    if cfg is None:
+        # pre-config-recording manifests fall back to defaults (documented)
+        cfg = TreatmentConfig(**recorded) if recorded else TreatmentConfig()
+    elif recorded is not None and cfg.__dict__ != recorded:
+        raise ValueError(
+            "cfg contradicts the treatment config recorded in the filled "
+            f"manifest: {cfg.__dict__} != {recorded}"
+        )
     io = TableIO(spark, workdir, n_buckets=n_buckets)
     delta = with_turn_metrics(delta)
     # Loud contract on the upsert key: a duplicate (conv_id, turn_idx) in

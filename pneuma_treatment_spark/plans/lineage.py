@@ -140,8 +140,14 @@ class PipelineRunner:
                     "n_partitions": n_parts,
                     "wall_sec": round(wall, 3),
                     "finished_at": time.time(),
+                    # the raw config, not just its signature hash: ops
+                    # tooling that recomputes this stage (plans/backfill.py)
+                    # must reproduce the recorded parameters exactly, and a
+                    # hash can be compared but not adopted
+                    "config": self.config,
                 },
                 indent=2,
+                default=str,
             )
         )
         self.results[name] = StageResult(name, sig, rows, False, wall, n_parts)

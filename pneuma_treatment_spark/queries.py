@@ -805,7 +805,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the un-lowered query tokens) into the same scan — both sides
     compute 1.0 − distinct/total as one IEEE division, so the hash gate
     holds exactly."""
-    from pneuma_treatment_spark.operators.textstats import BPE_TOKEN_RE
+    from pneuma_treatment_spark.operators.textstats import (
+        BPE_TOKEN_RE,
+        dup_ngram_frac,
+    )
 
     d = _load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.when(F.trim("text") == "", F.array().cast("array<string>")).otherwise(
@@ -815,31 +818,14 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.size(F.filter(F.col("__toks"), lambda x: x.isin(_STOPWORDS)))
     n = F.size(F.col("__toks"))
     nbpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), F.lit(0)))
-
-    def dup_frac(k: int):
-        # n-gram at position i joins elements i+1..i+k (element_at is
-        # 1-based); sequence stop clamped ≥0 (sequence(0, negative) throws
-        # even under the when() guard); denominator is the exact gram count
-        # n-k+1 so both engines divide the same two integers once
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("__toks"), i + j + 1) for j in range(k)]
-            ),
-        )
-        return F.when(
-            n >= k,
-            1.0 - F.size(F.array_distinct(grams)).cast("double") / (n - k + 1),
-        )
-
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
         nbpe.alias("n_bpe_tokens"),
         stop.alias("stop_cnt"),
         F.when(n > 0, stop.cast("double") / n).alias("stop_ratio"),
-        dup_frac(2).alias("dup_2gram_frac"),
-        dup_frac(3).alias("dup_3gram_frac"),
+        dup_ngram_frac(F.col("__toks"), 2).alias("dup_2gram_frac"),
+        dup_ngram_frac(F.col("__toks"), 3).alias("dup_3gram_frac"),
     )
 
 

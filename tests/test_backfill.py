@@ -234,8 +234,19 @@ def test_merge_drops_emptied_partition(spark, tmp_path):
     out = io.read("tab").toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert sorted(out["p_day"].astype(str).unique()) == ["2024-01-11", "2024-02-01"]
     assert len(out) == 3
-    # the emptied dir is physically gone
-    cx_bucket = out[out.conv_id == "cx"]["p_bucket"].iloc[0]
-    assert not os.path.exists(
-        os.path.join(str(tmp_path / "t"), "tab", "p_day=2024-01-01", f"p_bucket={cx_bucket}")
-    )
+    # the emptied dir is physically gone, INCLUDING its emptied day parent
+    # (an empty husk would later truncate _partition_dirs' layout walk)
+    assert not os.path.exists(os.path.join(str(tmp_path / "t"), "tab", "p_day=2024-01-01"))
+    assert io._partition_dirs("tab") == ["p_day", "p_bucket"]
+
+
+def test_backfill_rejects_contradicting_cfg(spark, env):
+    from pneuma_treatment_spark.operators.treatment import TreatmentConfig
+
+    with pytest.raises(ValueError, match="treatment config"):
+        backfill_pipeline(
+            spark,
+            env["wd_a"],
+            spark.read.parquet(env["delta_path"]),
+            cfg=TreatmentConfig(tol=1.25),
+        )
