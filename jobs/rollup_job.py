@@ -26,6 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from pneuma_treatment_spark.compression.chunks import (
+    TIER_WINDOW_DAYS,
     chunk_ttl_sql_predicate,
     write_chunks,
 )
@@ -67,6 +68,7 @@ def run_pipeline(
     shard_count: int = 1,
     stage_hook=None,
     surrogate_key: bool = False,
+    chunk_window_days: dict[str, int] | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline; returns a stage→metrics summary.
 
@@ -85,6 +87,7 @@ def run_pipeline(
     past that, widen to a 128-bit surrogate).
     """
     cfg = cfg or TreatmentConfig()
+    windows = chunk_window_days or dict(TIER_WINDOW_DAYS)
     io = TableIO(spark, workdir, n_buckets=n_buckets)
     runner = PipelineRunner(
         io,
@@ -96,6 +99,13 @@ def run_pipeline(
             "chunked": chunked,
             "input_table": input_table,
             "treatment": cfg.__dict__,
+            # ops tooling (plans/backfill.py) ADOPTS these two from the
+            # manifest — a backfill run with a contradicting bucket count
+            # prunes the wrong p_bucket set (silent row duplication), and a
+            # contradicting window map breaks chunk_ttl_sql_predicate's
+            # written-with match (ADVICE r6)
+            "n_buckets": n_buckets,
+            "chunk_window_days": windows,
             # shard identity MUST be part of the stage signature: a different
             # shard against the same workdir must not see COMPLETE manifests
             # written by another shard (it would silently return that shard's
@@ -260,7 +270,8 @@ def run_pipeline(
         stage(
             "chunks",
             lambda io: write_chunks(
-                m1.select(cols).unionByName(h1.select(cols)).unionByName(d1.select(cols))
+                m1.select(cols).unionByName(h1.select(cols)).unionByName(d1.select(cols)),
+                window_days=windows,
             ),
             deps=["rollup_1m", "rollup_1h", "rollup_1d"],
             # (tier, window-start) dirs — the chunk TTL unit; write_chunks
@@ -273,7 +284,8 @@ def run_pipeline(
                 io.delete_where(f"rollup_{tier}", ttl_sql_predicate(days, ttl_now))
             if io.exists("chunks"):
                 io.delete_where(
-                    "chunks", chunk_ttl_sql_predicate(DEFAULT_TTLS, ttl_now)
+                    "chunks",
+                    chunk_ttl_sql_predicate(DEFAULT_TTLS, ttl_now, window_days=windows),
                 )
     except _StopPipeline:
         pass
@@ -314,7 +326,12 @@ def main() -> None:
         help="compact the rollup tier tables after the run (small-file "
         "maintenance; see TableIO.compact)",
     )
-    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument(
+        "--buckets", type=int, default=None,
+        help="hash-bucket count (default 8 for a fresh pipeline; a backfill "
+        "with no --buckets ADOPTS the count recorded in the table manifests, "
+        "and an explicit contradicting value is a loud error)",
+    )
     ap.add_argument("--stats", default="full", choices=["full", "fast"])
     ap.add_argument("--shard-index", type=int, default=0)
     ap.add_argument("--shard-count", type=int, default=1)
@@ -354,7 +371,7 @@ def main() -> None:
             spark,
             args.workdir,
             spark.read.parquet(args.backfill_table),
-            n_buckets=args.buckets,
+            n_buckets=args.buckets,  # None → adopt the recorded count
         )
         summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(summary))
@@ -369,14 +386,17 @@ def main() -> None:
         chunked=not args.no_chunked,
         input_table=args.input_table,
         ttl_now=args.ttl_now,
-        n_buckets=args.buckets,
+        n_buckets=args.buckets if args.buckets is not None else 8,
         stats=args.stats,
         shard_index=args.shard_index,
         shard_count=args.shard_count,
         surrogate_key=args.surrogate,
     )
     if args.compact:
-        io = TableIO(spark, args.workdir, n_buckets=args.buckets)
+        io = TableIO(
+            spark, args.workdir,
+            n_buckets=args.buckets if args.buckets is not None else 8,
+        )
         for tier in DEFAULT_TTLS:
             # A tier table may be absent (partial failure, or a future
             # --stop-after run): skip it with a message instead of letting

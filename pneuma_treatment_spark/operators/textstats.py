@@ -244,10 +244,27 @@ def split_assign(
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    # uniform in [0, 1): low 31 bits of the seeded key hash (unsigned, exact)
-    u = (F.abs(F.xxhash64(F.col(key), F.lit(seed))) % F.lit(1 << 31)) / F.lit(
-        float(1 << 31)
-    )
+    # uniform in [0, 1): first 32 bits of md5(key <US> seed), exact integer /
+    # 2^32 (division by a power of two is exact IEEE). md5 over the UTF-8
+    # bytes makes the assignment ENGINE-PORTABLE — any SQL engine reproduces
+    # it verbatim (the DuckDB twin in the language_id driver slot gates it
+    # exactly), which is what an eval split needs: auditable from the corpus
+    # alone, no Spark-specific hash. (The previous xxhash64 form had no
+    # DuckDB twin and an abs(Long.MIN_VALUE) sign edge — ADVICE r6; the hex
+    # parse here is non-negative by construction.) Null keys get null splits.
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.col(key).cast("string"), F.lit(str(seed))
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(float(1 << 32))
     expr = None
     acc = 0.0
     names = list(weights)
@@ -259,7 +276,8 @@ def split_assign(
             else expr.when(u < F.lit(acc), F.lit(name))
         )
     last = F.lit(names[-1])
-    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, F.when(F.col(key).isNotNull(), assigned))
 
 
 def dup_ngram_frac(arr: Column, k: int) -> Column:

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import shutil
 import time
 from pathlib import Path
@@ -73,6 +74,11 @@ from pneuma_treatment_spark.plans.lineage import partition_counts
 
 #: chunked columns — must stay in lockstep with rollup_job.py's chunk stage
 _CHUNK_COLS = ["conv_id", "tier", "bucket_ts", "turn_count", "token_sum", "tool_calls"]
+
+#: the raw-transcript delta schema (input_hint shape) — extra columns are
+#: dropped so dead-letter sink dirs (which carry a batch_id partition level)
+#: feed straight into --backfill-table
+_DELTA_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 #: OR-of-ANDs partition predicates stay pushdown-able up to this many
 #: partitions; beyond it the plan-size (Catalyst literal) tax outweighs the
@@ -240,7 +246,11 @@ def _update_lineage(io: TableIO, name: str, stats: dict) -> None:
         shutil.rmtree(aside, ignore_errors=True)
         m["n_partitions"] = io.spark.read.parquet(str(ppath)).count()
     m["backfilled_at"] = time.time()
-    mpath.write_text(json.dumps(m, indent=2))
+    # crash-atomic: a kill mid-write must never leave truncated JSON (the
+    # documented recovery — re-run the delta — would then die at json.loads)
+    tmp_m = mpath.with_suffix(".json.tmp")
+    tmp_m.write_text(json.dumps(m, indent=2))
+    os.replace(tmp_m, mpath)
 
 
 def backfill_pipeline(
@@ -249,25 +259,29 @@ def backfill_pipeline(
     delta: DataFrame,
     cfg: TreatmentConfig | None = None,
     chunked: bool | None = None,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> dict:
     """Apply a late/corrected-turn delta through every pipeline table.
 
     ``delta``: raw transcript rows ``(conv_id, turn_idx, role, text, tool,
-    ts)`` — upsert keyed on (conv_id, turn_idx). ``chunked=None`` infers
-    the treatment mode from the existing ``filled`` table's layout;
-    ``cfg=None`` adopts the treatment config recorded in the ``filled``
-    manifest (an explicit ``cfg`` that contradicts the recorded one is a
-    loud error — recomputing affected conversations under different
+    ts)`` — upsert keyed on (conv_id, turn_idx); extra columns (e.g. a
+    dead-letter sink's ``batch_id`` partition level) are dropped. ``chunked=
+    None`` infers the treatment mode from the existing ``filled`` table's
+    layout; ``cfg=None`` adopts the treatment config recorded in the
+    ``filled`` manifest (an explicit ``cfg`` that contradicts the recorded
+    one is a loud error — recomputing affected conversations under different
     parameters would silently mix treatment semantics within one table).
-    Returns per-table merge stats. Assumes a single-shard workdir (sharded
-    deployments backfill through the shard that owns the conversations;
-    the CLI rejects ``--shard-count > 1``).
+    ``n_buckets`` and the chunk window map follow the same adopt-or-error
+    rule (ADVICE r6): a wrong bucket count would prune the wrong p_bucket
+    set and silently DUPLICATE affected conversations' old rows, and a
+    wrong window map would mix chunk layouts under one
+    ``chunk_ttl_sql_predicate``. Returns per-table merge stats. Assumes a
+    single-shard workdir (sharded deployments backfill through the shard
+    that owns the conversations; the CLI rejects ``--shard-count > 1``).
     """
-    recorded = None
     fm = Path(workdir) / "_manifest" / "filled.json"
-    if fm.exists():
-        recorded = (json.loads(fm.read_text()).get("config") or {}).get("treatment")
+    rec_cfg = json.loads(fm.read_text()).get("config") or {} if fm.exists() else {}
+    recorded = rec_cfg.get("treatment")
     if cfg is None:
         # pre-config-recording manifests fall back to defaults (documented)
         cfg = TreatmentConfig(**recorded) if recorded else TreatmentConfig()
@@ -276,8 +290,33 @@ def backfill_pipeline(
             "cfg contradicts the treatment config recorded in the filled "
             f"manifest: {cfg.__dict__} != {recorded}"
         )
+    rec_nb = rec_cfg.get("n_buckets")
+    if n_buckets is None:
+        n_buckets = int(rec_nb) if rec_nb is not None else 8
+    elif rec_nb is not None and int(rec_nb) != n_buckets:
+        raise ValueError(
+            f"n_buckets={n_buckets} contradicts the bucket count recorded in "
+            f"the filled manifest ({rec_nb}) — pruning with the wrong bucket "
+            "set would leave affected conversations' old rows in place "
+            "(silent duplication); omit --buckets to adopt the recorded value"
+        )
+    # chunk window map: adopt what the chunks table was written with (a
+    # default-map re-encode of a custom-windowed table would break the
+    # chunk_ttl_sql_predicate window/predicate match)
+    cm = Path(workdir) / "_manifest" / "chunks.json"
+    rec_windows = (
+        (json.loads(cm.read_text()).get("config") or {}).get("chunk_window_days")
+        if cm.exists()
+        else None
+    )
+    chunk_windows = (
+        {str(k): int(v) for k, v in rec_windows.items()} if rec_windows else None
+    )
+    missing = [c for c in _DELTA_COLS if c not in delta.columns]
+    if missing:
+        raise ValueError(f"backfill delta is missing columns: {missing}")
     io = TableIO(spark, workdir, n_buckets=n_buckets)
-    delta = with_turn_metrics(delta)
+    delta = with_turn_metrics(delta.select(*_DELTA_COLS))
     # Loud contract on the upsert key: a duplicate (conv_id, turn_idx) in
     # the delta would survive the anti-join and insert BOTH rows — silent
     # duplication through every downstream table. Null keys would vanish
@@ -353,7 +392,8 @@ def backfill_pipeline(
     chunks_new = write_chunks(
         m1.select(_CHUNK_COLS)
         .unionByName(h1.select(_CHUNK_COLS))
-        .unionByName(d1.select(_CHUNK_COLS))
+        .unionByName(d1.select(_CHUNK_COLS)),
+        window_days=chunk_windows,
     )
 
     # --- partition-scoped merges + lineage upkeep --------------------------

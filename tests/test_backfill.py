@@ -250,3 +250,60 @@ def test_backfill_rejects_contradicting_cfg(spark, env):
             spark.read.parquet(env["delta_path"]),
             cfg=TreatmentConfig(tol=1.25),
         )
+
+
+def test_backfill_rejects_contradicting_buckets(spark, env):
+    """ADVICE r6: a wrong --buckets prunes the wrong p_bucket set and
+    silently duplicates affected conversations' old rows — must refuse
+    against the recorded count before touching any table."""
+    with pytest.raises(ValueError, match="n_buckets"):
+        backfill_pipeline(
+            spark,
+            env["wd_a"],
+            spark.read.parquet(env["delta_path"]),
+            n_buckets=env_n_buckets_plus_one(env["wd_a"]),
+        )
+
+
+def env_n_buckets_plus_one(workdir: str) -> int:
+    import json
+
+    m = json.loads(open(os.path.join(workdir, "_manifest", "filled.json")).read())
+    return int(m["config"]["n_buckets"]) + 1
+
+
+def test_backfill_adopts_recorded_chunk_windows(spark, tmp_path):
+    """A chunks table written with a CUSTOM window map must be re-encoded
+    with the same map on backfill (ADVICE r6) — mixed maps would break
+    chunk_ttl_sql_predicate's written-with contract. Pinned by bit-equality
+    to a from-scratch rebuild under the same custom map."""
+    args = dict(n_convs=10, seed=7, mega_turns=0)
+    windows = {"1m": 3, "1h": 20, "1d": 150}
+    base_path = str(tmp_path / "raw")
+    generate_transcripts(spark, 10, seed=7).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    c = base.select("conv_id").distinct().orderBy("conv_id").first()["conv_id"]
+    last = base.where(F.col("conv_id") == c).orderBy(F.col("turn_idx").desc()).limit(1)
+    delta = last.select(
+        "conv_id",
+        (F.col("turn_idx") + 1).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("late turn for the window-map test").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+    )
+    dpath = str(tmp_path / "delta")
+    delta.write.parquet(dpath)
+    upd_path = str(tmp_path / "upd")
+    base.unionByName(spark.read.parquet(dpath)).write.parquet(upd_path)
+
+    wd_a, wd_b = str(tmp_path / "wa"), str(tmp_path / "wb")
+    run_pipeline(spark, wd_a, **args, input_table=base_path, chunk_window_days=windows)
+    backfill_pipeline(spark, wd_a, spark.read.parquet(dpath))
+    run_pipeline(spark, wd_b, **args, input_table=upd_path, chunk_window_days=windows)
+    io_a, io_b = TableIO(spark, wd_a), TableIO(spark, wd_b)
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(io_a, "chunks"), _sorted_pdf(io_b, "chunks"), check_dtype=False
+    )
+    shutil.rmtree(wd_a, ignore_errors=True)
+    shutil.rmtree(wd_b, ignore_errors=True)
