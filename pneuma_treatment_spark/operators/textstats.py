@@ -265,11 +265,9 @@ def split_assign(
         16,
         10,
     ).cast("long") / F.lit(float(1 << 32))
+    names, accs = split_thresholds(weights)
     expr = None
-    acc = 0.0
-    names = list(weights)
-    for name in names[:-1]:
-        acc += weights[name] / total
+    for name, acc in zip(names[:-1], accs):
         expr = (
             F.when(u < F.lit(acc), F.lit(name))
             if expr is None
@@ -278,6 +276,22 @@ def split_assign(
     last = F.lit(names[-1])
     assigned = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, F.when(F.col(key).isNotNull(), assigned))
+
+
+def split_thresholds(weights: dict[str, float]) -> tuple[list[str], list[float]]:
+    """The exact cumulative thresholds :func:`split_assign` compares its
+    uniform against, in assignment order — exposed so oracle twins (the
+    ``language_id`` driver slot's DuckDB SQL) embed BIT-IDENTICAL float
+    literals via ``repr`` instead of re-deriving them with a different
+    accumulation order."""
+    total = float(sum(weights.values()))
+    names = list(weights)
+    accs: list[float] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        accs.append(acc)
+    return names, accs
 
 
 def dup_ngram_frac(arr: Column, k: int) -> Column:

@@ -1115,13 +1115,73 @@ def merge_time_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis + near-dup (oracle-backed)
 # ---------------------------------------------------------------------------
 
+# PII fixture for the language_id slot's redaction gate: (doc_id, text,
+# expected n_pii, expected redacted text). DuckDB 1.0's RE2 has no
+# lookbehind, so the oracle cannot transliterate the PII regex chain —
+# instead the fixture's expected redactions are HAND-DERIVED (authored via
+# Python `re`, which shares lookaround semantics with Java regex for these
+# ASCII patterns) and frozen here; the oracle md5s the expected literal
+# while Spark md5s what redact_pii actually produced. Rows cover each
+# pattern alone, the CARD-before-PHONE and SSN-before-PHONE order
+# interactions, lookaround guards (digit-adjacent runs stay), multi-PII
+# lines, and no-PII text in each language profile.
+_PII_FIXTURE: list[tuple[int, str, int, str]] = [
+    (-1, "contact jane.doe+x@example.co.uk now", 1, "contact [EMAIL] now"),
+    (-2, "pay with 4111 1111 1111 1111 thanks", 1, "pay with [CARD] thanks"),
+    (-3, "4111-1111-1111-1111 and 123-45-6789", 2, "[CARD] and [SSN]"),
+    (-4, "call (555) 123-4567 today", 1, "call [PHONE] today"),
+    (-5, "intl +1 555.123.4567 line", 1, "intl [PHONE] line"),
+    (-6, "server 10.0.0.1 is up", 1, "server [IPV4] is up"),
+    (-7, "version 1.2.3.4.5 stays as is", 0, "version 1.2.3.4.5 stays as is"),
+    (-8, "id 123-45-6789 is not a phone", 1, "id [SSN] is not a phone"),
+    (-9, "ref 91234-45-67890 untouched", 0, "ref 91234-45-67890 untouched"),
+    (-10, "a@b.io or c@d.org at 192.168.0.1", 3, "[EMAIL] or [EMAIL] at [IPV4]"),
+    (-11, "just words and the usual stopwords here", 0, "just words and the usual stopwords here"),
+    (-12, "der die das und ist nicht ein", 0, "der die das und ist nicht ein"),
+    (-13, "le la les de et pour dans", 0, "le la les de et pour dans"),
+]
+
+#: split gate: weights chosen so every cumulative threshold is an exact
+#: binary fraction (0.75, 0.875) — no ulp coupling between engines
+_SPLIT_W = {"train": 0.75, "val": 0.125, "test": 0.125}
+
+
+def _split_case_sql(key_sql: str, seed: int) -> str:
+    """The DuckDB twin of split_assign: same md5-low-32-bits uniform, same
+    thresholds via repr of split_thresholds' exact accumulation."""
+    from pneuma_treatment_spark.operators.textstats import split_thresholds
+
+    names, accs = split_thresholds(_SPLIT_W)
+    u = (
+        f"(('0x' || substr(md5({key_sql} || chr(31) || '{seed}'), 1, 8))::BIGINT"
+        " / 4294967296.0)"
+    )
+    whens = " ".join(
+        f"WHEN {u} < {acc!r} THEN '{name}'" for name, acc in zip(names[:-1], accs)
+    )
+    return f"CASE {whens} ELSE '{names[-1]}' END"
+
+
+_FX_VALUES = ",\n      ".join(
+    f"({d}, '{t}', {n}, '{r}')" for d, t, n, r in _PII_FIXTURE
+)
+
+
 @query(
     "language_id",
-    r"""
-    WITH t AS (
+    rf"""
+    WITH fx(doc_id, text, n_pii, redacted) AS (VALUES
+      {_FX_VALUES}
+    ),
+    allt AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id, text FROM fx
+    ),
+    t AS (
       SELECT doc_id,
              string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents WHERE text IS NOT NULL
+      FROM allt
     ),
     s AS (
       SELECT doc_id,
@@ -1132,21 +1192,53 @@ def merge_time_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(toks, x -> list_contains(
                ['le','la','les','de','et','est','un','une','pour','dans'], x))) AS s_fr
       FROM t
+    ),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM s
     )
-    SELECT doc_id,
-           CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
-                WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
-                WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
-                ELSE 'fr' END AS lang_pred
-    FROM s
+    SELECT l.doc_id, l.lang_pred,
+           {_split_case_sql("l.doc_id::VARCHAR", 0)} AS split,
+           fx.n_pii::BIGINT AS n_pii,
+           CASE WHEN fx.doc_id IS NOT NULL THEN md5(fx.redacted) END AS redacted_hash
+    FROM lang l LEFT JOIN fx ON l.doc_id = fx.doc_id
     """,
 )
 def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-profile language heuristic (text-analysis op)."""
-    from pneuma_treatment_spark.operators.textstats import language_id
+    """Stopword-profile language heuristic (text-analysis op), widened in
+    round 7 to hash-gate two corpus-prep operators through the same slot
+    (the registry stays at the 50-row cap — VERDICT r6 item 2):
 
-    d = _load(spark, sf_dir, "documents")
-    return language_id(d).select("doc_id", "lang_pred")
+    * ``split_assign`` — the ``split`` column over EVERY doc_id (real docs
+      + fixture), md5-low-32-bits uniform, fully recomputed by the oracle;
+    * ``redact_pii`` — ``n_pii`` and ``md5(redacted text)`` over the
+      crafted ``_PII_FIXTURE`` rows (null for real docs: RE2 lacks the
+      lookbehind the patterns need, see the fixture comment).
+    """
+    from pneuma_treatment_spark.operators.textstats import (
+        language_id,
+        redact_pii,
+        split_assign,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    fx = spark.createDataFrame(
+        [(d_, t) for d_, t, _, _ in _PII_FIXTURE], "doc_id long, text string"
+    )
+    allt = d.where(F.col("text").isNotNull()).unionByName(fx)
+    out = split_assign(language_id(allt), _SPLIT_W, key="doc_id", seed=0)
+    pii = redact_pii(fx, out_col="red").select(
+        "doc_id",
+        F.col("n_pii").cast("long").alias("n_pii"),
+        F.md5(F.col("red").cast("binary")).alias("redacted_hash"),
+    )
+    return out.join(pii, "doc_id", "left").select(
+        "doc_id", "lang_pred", "split", "n_pii", "redacted_hash"
+    )
 
 
 @query(
