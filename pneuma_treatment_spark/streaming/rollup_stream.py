@@ -12,14 +12,21 @@ At scale this runs as a continuous ingest job feeding the raw tier; the
 batch cascade (1m→1h→1d) then reads closed buckets — streaming only ever
 owns the hot end of the timeline.
 
-Rows the watermark drops are not lost: they are exactly the delta shape
+Rows the watermark drops are not lost: :func:`run_deadletter_capture`
+tees the raw source and writes every row at risk of being
+watermark-dropped into a parquet dir in exactly the delta shape
 :mod:`..plans.backfill` re-admits (conversation-scoped recompute +
-partition-scoped merge through every tier) — route the dead-letter side
-of the ingest there. Together they are the lambda closure: streaming owns
-the hot end, backfill heals the cold end.
+partition-scoped merge through every tier); ``rollup_job
+--backfill-table <dead-letter dir>`` then heals the tables. Together
+they are the lambda closure: streaming owns the hot end, backfill heals
+the cold end (tests/test_streaming.py pins the heal end-to-end:
+captured delta + backfill ≡ a from-scratch build on the full input).
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,6 +159,116 @@ def _validate_trigger(available_now: bool, trigger_seconds: int | None) -> None:
             "available_now=False requires a POSITIVE trigger_seconds (the "
             "micro-batch interval); None or <=0 would poll as-fast-as-possible"
         )
+
+
+_DURATION_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _parse_duration_us(s: str) -> int:
+    """'10 minutes' → microseconds (the watermark-delay grammar subset the
+    engine uses; loud on anything else)."""
+    parts = s.strip().split()
+    unit = parts[1].rstrip("s") if len(parts) == 2 else ""
+    if len(parts) != 2 or unit not in _DURATION_US or not parts[0].isdigit():
+        raise ValueError(f"unsupported duration {s!r} — use 'N seconds|minutes|hours|days'")
+    return int(parts[0]) * _DURATION_US[unit]
+
+
+def run_deadletter_capture(
+    spark: SparkSession,
+    source_path: str,
+    dead_path: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    margin: str = "0 seconds",
+    max_files: int = 8,
+    available_now: bool = True,
+    trigger_seconds: int | None = None,
+):
+    """Capture watermark-droppable raw rows into a backfill delta dir —
+    the dead-letter producer whose consumer is :mod:`..plans.backfill`
+    (VERDICT r6 item 1; reference analog: the completeness trim contract,
+    ``09lane_node.py:303-318``).
+
+    A tee of the same file source the rollup aggregation reads: each
+    micro-batch recomputes Spark's own watermark rule — ``max event time
+    over all PRIOR batches − delay`` (exactly how the engine derives the
+    bound the agg drops against; the agg's ms-floor of max only lowers its
+    bound, so matching on raw max never under-captures a batch-aligned
+    row) — and writes rows older than that bound to
+    ``dead_path/batch_id=<epoch>`` with ``mode("overwrite")`` (the same
+    replayed-epoch idempotence pattern as :func:`run_chunk_append_sink`).
+    Per-batch max event times persist in a tiny JSON next to the
+    checkpoint (atomic tmp+rename; one long per batch — bounded driver
+    metadata), so a killed capture resumes with the same bounds and
+    rewrites its epoch byte-for-byte.
+
+    Alignment contract: under the per-cycle ``availableNow`` operation
+    (the mode the pipeline's scheduler invokes — each cycle drains the
+    files that exist), the capture sees the same arrival boundaries as
+    the aggregation, so the captured set equals the dropped set. If the
+    two queries' micro-batches can interleave differently WITHIN a cycle
+    (FileStreamSource breaks mtime ties arbitrarily), pass a ``margin``
+    (subtracted from the delay, i.e. the bound moves LATER): rows within
+    ``margin`` of the bound are then captured even though the agg may
+    have kept them — over-capture is harmless, the backfill upsert is
+    idempotent, while under-capture loses the row. Healing:
+    ``rollup_job --backfill-table <dead_path>`` (backfill drops the
+    ``batch_id`` rider and dedupes nothing — captured rows are raw
+    turns, one row per source row).
+    """
+    _validate_trigger(available_now, trigger_seconds)
+    delay_us = _parse_duration_us(watermark) - _parse_duration_us(margin)
+    state_path = os.path.join(checkpoint, "deadletter_maxts.json")
+
+    def emit(bdf: DataFrame, batch_id: int) -> None:
+        maxes: dict[str, int] = {}
+        if os.path.exists(state_path):
+            maxes = json.loads(open(state_path).read())
+        prior = [v for k, v in maxes.items() if int(k) < batch_id]
+        row = bdf.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx")).first()
+        mx = row["mx"]
+        if prior:
+            bound_us = max(prior) - delay_us
+            late = bdf.where(
+                F.unix_micros(F.col("ts").cast("timestamp")) < F.lit(bound_us)
+            )
+            # one epoch dir per batch, overwritten on replay (exactly-once)
+            late.write.mode("overwrite").parquet(f"{dead_path}/batch_id={batch_id}")
+        if mx is not None:
+            maxes[str(batch_id)] = int(mx)
+            tmp = state_path + ".tmp"
+            os.makedirs(checkpoint, exist_ok=True)
+            with open(tmp, "w") as f:
+                json.dump(maxes, f)
+            os.replace(tmp, state_path)
+
+    w = (
+        read_transcript_stream(spark, source_path, max_files=max_files)
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def read_dead_letter(spark: SparkSession, dead_path: str) -> DataFrame:
+    """Load a capture dir as a backfill delta (drops the batch_id rider;
+    distinct guards exact-duplicate source rows)."""
+    df = spark.read.option("basePath", dead_path).parquet(dead_path)
+    return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").distinct()
 
 
 def run_chunk_append_sink(

@@ -392,6 +392,115 @@ def test_parquet_sink_resumes_exactly_once(spark, transcripts_df, tmp_path):
     )
 
 
+def test_deadletter_capture_heals_batch_tables(spark, tmp_path):
+    """The lambda closure, end-to-end (VERDICT r6 item 1): rows the rollup
+    watermark drops are captured by the dead-letter tee, the rollup sink
+    provably lacks them, and running the captured delta through
+    backfill_pipeline leaves every batch table bit-equal to a from-scratch
+    build on the full input."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jobs.rollup_job import run_pipeline
+    from pneuma_treatment_spark.io.tableio import TableIO
+    from pneuma_treatment_spark.plans.backfill import backfill_pipeline
+    from pneuma_treatment_spark.streaming.rollup_stream import (
+        read_dead_letter,
+        read_transcript_stream,
+        run_deadletter_capture,
+        run_to_parquet_sink,
+        stream_rollup_1m,
+    )
+    from pneuma_treatment_spark.synth import generate_transcripts
+
+    args = dict(n_convs=12, seed=9, mega_turns=0)
+    full_path = str(tmp_path / "full_raw")
+    generate_transcripts(spark, 12, seed=9).write.parquet(full_path)
+    full = spark.read.parquet(full_path)
+    c0 = full.select("conv_id").distinct().orderBy("conv_id").first()["conv_id"]
+    late = full.where((F.col("conv_id") == c0) & (F.col("turn_idx") < 3))
+    on_time = full.join(
+        late.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    )
+    # the scenario only exercises the drop if the late rows are genuinely
+    # behind the watermark the on-time data will have established
+    mx_us = on_time.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp")))).first()[0]
+    late_mx_us = late.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp")))).first()[0]
+    assert late_mx_us < mx_us - 10 * 60_000_000, "fixture: late rows not late enough"
+    on_path = str(tmp_path / "on_raw")
+    on_time.write.parquet(on_path)
+
+    # ---- stream: cycle 1 drains the on-time arrival, cycle 2 the late one
+    src = str(tmp_path / "dl_src")
+    sink = str(tmp_path / "dl_sink")
+    dead = str(tmp_path / "dl_dead")
+    ckpt_r = str(tmp_path / "dl_ckpt_rollup")
+    ckpt_c = str(tmp_path / "dl_ckpt_capture")
+    os.makedirs(src)
+    now = _time.time()
+
+    def stage(df, name, mt):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/__stage")
+        _sh.move(_glob.glob(f"{src}/__stage/part-*.parquet")[0], f"{src}/{name}")
+        _sh.rmtree(f"{src}/__stage")
+        os.utime(f"{src}/{name}", (mt, mt))
+
+    def cycle():
+        run_to_parquet_sink(
+            stream_rollup_1m(read_transcript_stream(spark, src)), sink, ckpt_r
+        )
+        run_deadletter_capture(spark, src, dead, ckpt_c)
+
+    stage(on_time, "000.parquet", now - 60)
+    cycle()
+    assert not os.path.exists(dead)  # nothing droppable in the first arrival
+    stage(late, "001.parquet", now - 30)
+    cycle()
+
+    # captured set == the late rows, in the backfill delta shape
+    cap = read_dead_letter(spark, dead)
+    got_keys = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in cap.select("conv_id", "turn_idx").collect()
+    )
+    want_keys = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in late.select("conv_id", "turn_idx").collect()
+    )
+    assert got_keys == want_keys
+
+    # the rollup sink really dropped them: every emitted turn is an on-time
+    # turn of a closed window — sum(turn_count) equals exactly that count
+    got_sink = spark.read.parquet(sink).toPandas()
+    ot = on_time.select(
+        F.col("conv_id"), F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    ).toPandas()
+    wm_us = (mx_us // 1000) * 1000 - 10 * 60_000_000
+    closed = ot[(ot.us // 60_000_000 + 1) * 60_000_000 <= wm_us]
+    assert int(got_sink["turn_count"].sum()) == len(closed)
+
+    # ---- heal: batch tables on on-time input + captured delta ≡ full build
+    wd_a, wd_b = str(tmp_path / "wa"), str(tmp_path / "wb")
+    run_pipeline(spark, wd_a, **args, input_table=on_path)
+    backfill_pipeline(spark, wd_a, cap)
+    run_pipeline(spark, wd_b, **args, input_table=full_path)
+    io_a, io_b = TableIO(spark, wd_a), TableIO(spark, wd_b)
+    sort_keys = {
+        "chunks": ["conv_id", "tier", "metric", "start_ts"],
+        "rollup_1m": ["conv_id", "tier", "bucket_ts"],
+        "rollup_1h": ["conv_id", "tier", "bucket_ts"],
+        "rollup_1d": ["conv_id", "tier", "bucket_ts"],
+    }
+    for t in ("ingest", "filled", "treated", "rollup_1m", "rollup_1h", "rollup_1d", "chunks"):
+        keys = sort_keys.get(t, ["conv_id", "turn_idx"])
+        a = io_a.read(t).toPandas().sort_values(keys).reset_index(drop=True)
+        b = io_b.read(t).toPandas().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False), t
+
+
 def test_chunk_append_sink_exactly_once(spark, transcripts_df, tmp_path):
     """Streaming chunk append (VERDICT r5 item 7): two availableNow runs on
     one checkpoint — new input arriving between them — produce every chunk
