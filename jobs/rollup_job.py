@@ -348,6 +348,13 @@ def main() -> None:
         "partition-scoped merges instead of running the pipeline "
         "(plans/backfill.py)",
     )
+    ap.add_argument(
+        "--delete-convs", default=None,
+        help="path to a parquet table of conv_ids to REMOVE from every "
+        "pipeline table (compliance-shaped whole-conversation deletion; "
+        "partition-scoped merges, lineage re-spliced — "
+        "plans/backfill.delete_conversations)",
+    )
     args = ap.parse_args()
 
     from pneuma_treatment_spark.session import get_spark
@@ -356,6 +363,23 @@ def main() -> None:
         "rollup-job", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if args.delete_convs and args.backfill_table:
+        ap.error("--delete-convs and --backfill-table are separate ops — run them one at a time")
+    if args.delete_convs:
+        from pneuma_treatment_spark.plans.backfill import delete_conversations
+
+        if args.shard_count != 1:
+            ap.error("--delete-convs: delete through the owning shard with --shard-count 1")
+        t0 = time.perf_counter()
+        summary = delete_conversations(
+            spark,
+            args.workdir,
+            spark.read.parquet(args.delete_convs),
+            n_buckets=args.buckets,  # None → adopt the recorded count
+        )
+        summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(summary))
+        return
     if args.backfill_table:
         from pneuma_treatment_spark.plans.backfill import backfill_pipeline
 

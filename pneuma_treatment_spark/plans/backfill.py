@@ -32,10 +32,13 @@ Cost model at scale (what makes this 100 TB-viable):
 Semantics: the delta is an UPSERT keyed on ``(conv_id, turn_idx)`` — an
 existing key is replaced (text/ts/role corrections; a ``ts`` change may
 move the row across day partitions), a new key is inserted (late
-turns). Deletions are out of scope (the reference has no delete path
-either). Re-running the same delta is idempotent, which is also the
-crash-recovery story: a backfill killed between table merges is healed
-by re-running it (each per-table merge is independently idempotent).
+turns). Whole-conversation DELETION (the compliance shape: a user
+erasure request must remove every derived row too) is
+:func:`delete_conversations` — the same partition-scoped merge with an
+empty recompute side. Re-running the same delta is idempotent, which is
+also the crash-recovery story: a backfill killed between table merges is
+healed by re-running it (each per-table merge is independently
+idempotent).
 
 The recompute mirrors ``jobs/rollup_job.py:run_pipeline``'s stage builds
 (filled: `rollup_job.py:184-206`; treated: `rollup_job.py:207-232`;
@@ -253,6 +256,23 @@ def _update_lineage(io: TableIO, name: str, stats: dict) -> None:
     os.replace(tmp_m, mpath)
 
 
+def _adopt_recorded_buckets(rec_cfg: dict, n_buckets: int | None) -> int:
+    """Adopt the manifest-recorded bucket count, erroring on contradiction
+    (ADVICE r6: a wrong count prunes the wrong p_bucket set — silent row
+    duplication / missed removals)."""
+    rec_nb = rec_cfg.get("n_buckets")
+    if n_buckets is None:
+        return int(rec_nb) if rec_nb is not None else 8
+    if rec_nb is not None and int(rec_nb) != n_buckets:
+        raise ValueError(
+            f"n_buckets={n_buckets} contradicts the bucket count recorded in "
+            f"the filled manifest ({rec_nb}) — pruning with the wrong bucket "
+            "set would leave affected conversations' old rows in place "
+            "(silent duplication); omit --buckets to adopt the recorded value"
+        )
+    return n_buckets
+
+
 def backfill_pipeline(
     spark: SparkSession,
     workdir: str,
@@ -290,16 +310,7 @@ def backfill_pipeline(
             "cfg contradicts the treatment config recorded in the filled "
             f"manifest: {cfg.__dict__} != {recorded}"
         )
-    rec_nb = rec_cfg.get("n_buckets")
-    if n_buckets is None:
-        n_buckets = int(rec_nb) if rec_nb is not None else 8
-    elif rec_nb is not None and int(rec_nb) != n_buckets:
-        raise ValueError(
-            f"n_buckets={n_buckets} contradicts the bucket count recorded in "
-            f"the filled manifest ({rec_nb}) — pruning with the wrong bucket "
-            "set would leave affected conversations' old rows in place "
-            "(silent duplication); omit --buckets to adopt the recorded value"
-        )
+    n_buckets = _adopt_recorded_buckets(rec_cfg, n_buckets)
     # chunk window map: adopt what the chunks table was written with (a
     # default-map re-encode of a custom-windowed table would break the
     # chunk_ttl_sql_predicate window/predicate match)
@@ -434,4 +445,75 @@ def backfill_pipeline(
     n_aff = affected.count()
     for p in (raw_aff, filled_new, m1, h1, d1, affected):
         p.unpersist()
+    return {"tables": tables, "affected_convs": n_aff}
+
+
+#: per-table merge timestamp columns — the order backfill/delete walk the
+#: pipeline tables in (chunks uses start_ts: its p_day is the window START)
+_TABLE_TS = (
+    ("ingest", "ts"),
+    ("filled", "ts"),
+    ("treated", "ts"),
+    ("rollup_1m", "bucket_ts"),
+    ("rollup_1h", "bucket_ts"),
+    ("rollup_1d", "bucket_ts"),
+    ("chunks", "start_ts"),
+)
+
+
+def delete_conversations(
+    spark: SparkSession,
+    workdir: str,
+    convs: DataFrame,
+    n_buckets: int | None = None,
+) -> dict:
+    """Remove whole conversations from every pipeline table (VERDICT r6
+    item 5 — the compliance shape: a user-erasure request must delete the
+    raw turns AND every derived row).
+
+    ``convs``: a DataFrame with a ``conv_id`` column (extra columns are
+    ignored; null ids are a loud error). This is
+    :func:`merge_conv_scoped` with an EMPTY recompute side — the
+    conversation is the exact recompute unit, so removing one from the
+    input removes precisely its rows from every stage (gap-fill,
+    treatment, tiers, and chunks are all per-conversation; no other
+    conversation's rows change). Cost model matches the upsert path:
+    keep-side scans bucket- and partition-pruned to the affected
+    conversations' footprint, partitions whose last row leaves are
+    dropped, lineage re-spliced. Idempotent: deleting an absent or
+    already-deleted conversation is a no-op merge. ``n_buckets`` adopts
+    the manifest-recorded count (contradiction is a loud error).
+    Sharded deployments delete through the owning shard, like
+    ``--backfill-table``."""
+    if "conv_id" not in convs.columns:
+        raise ValueError("delete_conversations needs a conv_id column")
+    fm = Path(workdir) / "_manifest" / "filled.json"
+    rec_cfg = json.loads(fm.read_text()).get("config") or {} if fm.exists() else {}
+    n_buckets = _adopt_recorded_buckets(rec_cfg, n_buckets)
+    io = TableIO(spark, workdir, n_buckets=n_buckets)
+    affected = convs.select("conv_id").distinct().persist()
+    if affected.where(F.col("conv_id").isNull()).limit(1).count():
+        affected.unpersist()
+        raise ValueError("delete set contains null conv_id")
+    n_aff = affected.count()
+    if n_aff == 0:
+        affected.unpersist()
+        return {"tables": {}, "affected_convs": 0}
+
+    jobs = [(name, ts_col) for name, ts_col in _TABLE_TS if io.exists(name)]
+
+    def _one(job):
+        name, ts_col = job
+        empty = io.read(name).limit(0)
+        stats = merge_conv_scoped(io, name, empty, affected, ts_col=ts_col)
+        _update_lineage(io, name, stats)
+        return name, {
+            k: stats[k] for k in ("removed", "added", "parts_rewritten", "stale_dropped")
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(jobs)))) as ex:
+        tables = dict(ex.map(_one, jobs))
+    affected.unpersist()
     return {"tables": tables, "affected_convs": n_aff}

@@ -272,6 +272,60 @@ def env_n_buckets_plus_one(workdir: str) -> int:
     return int(m["config"]["n_buckets"]) + 1
 
 
+def test_delete_conversations_equals_filtered_rebuild(spark, tmp_path):
+    """Whole-conversation deletion (VERDICT r6 item 5): post-delete tables
+    bit-equal a from-scratch build on the filtered input, partitions whose
+    last row left are dropped, lineage stays green, and a repeat delete is
+    a no-op."""
+    from pneuma_treatment_spark.plans.backfill import delete_conversations
+
+    args = dict(n_convs=10, seed=13, mega_turns=0)
+    base_path = str(tmp_path / "raw")
+    generate_transcripts(spark, 10, seed=13).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    victims = [
+        r["conv_id"]
+        for r in base.select("conv_id").distinct().orderBy("conv_id").limit(2).collect()
+    ]
+    filt_path = str(tmp_path / "filtered")
+    base.where(~F.col("conv_id").isin(victims)).write.parquet(filt_path)
+
+    wd_a, wd_b = str(tmp_path / "wa"), str(tmp_path / "wb")
+    run_pipeline(spark, wd_a, **args, input_table=base_path)
+    summary = delete_conversations(
+        spark, wd_a, spark.createDataFrame([(c,) for c in victims], ["conv_id"])
+    )
+    run_pipeline(spark, wd_b, **args, input_table=filt_path)
+
+    assert summary["affected_convs"] == 2
+    assert summary["tables"]["ingest"]["removed"] > 0
+    assert summary["tables"]["ingest"]["added"] == 0
+
+    io_a, io_b = TableIO(spark, wd_a), TableIO(spark, wd_b)
+    for t in TABLES:
+        pd.testing.assert_frame_equal(
+            _sorted_pdf(io_a, t), _sorted_pdf(io_b, t), check_dtype=False
+        ), t
+    for t in TABLES:
+        assert verify_partition_lineage(io_a, t), t
+
+    # the victims' rows are physically gone everywhere
+    for t in TABLES:
+        assert io_a.read(t).where(F.col("conv_id").isin(victims)).count() == 0, t
+
+    # idempotent: repeating the delete changes nothing
+    again = delete_conversations(
+        spark, wd_a, spark.createDataFrame([(victims[0],)], ["conv_id"])
+    )
+    assert again["tables"]["ingest"]["removed"] == 0
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(io_a, "chunks"), _sorted_pdf(io_b, "chunks"), check_dtype=False
+    )
+
+    shutil.rmtree(wd_a, ignore_errors=True)
+    shutil.rmtree(wd_b, ignore_errors=True)
+
+
 def test_backfill_adopts_recorded_chunk_windows(spark, tmp_path):
     """A chunks table written with a CUSTOM window map must be re-encoded
     with the same map on backfill (ADVICE r6) — mixed maps would break
