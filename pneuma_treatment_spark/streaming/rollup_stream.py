@@ -304,6 +304,19 @@ def run_chunk_append_sink(
 
     The input must carry ``conv_id``/``tier``/``bucket_ts`` plus
     ``metrics`` columns (e.g. :func:`stream_rollup_1m` output).
+
+    Hot/cold handoff (the backfill story for streaming chunks): epoch
+    dirs are the HOT end only and are never merged by
+    :mod:`..plans.backfill` — the batch cascade re-owns every closed
+    window when it runs (its chunk stage re-encodes the full tier from
+    the rollup tables), so after a batch cycle the epoch dirs for the
+    covered range are redundant and DISCARDABLE (delete dirs older than
+    the batch high-water mark; the exactly-once checkpoint is unaffected
+    because replayed epochs rewrite their own dirs regardless).
+    ``tests/test_streaming.py::test_stream_chunk_dirs_discardable_after_batch_cascade``
+    pins the contract: every point decoded from the streaming sink also
+    decodes, value-equal, from the batch chunk table built over the same
+    input.
     """
     from pneuma_treatment_spark.compression.chunks import write_chunks
 

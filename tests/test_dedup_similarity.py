@@ -360,3 +360,44 @@ def test_band_pairs_arrow_drops_null_embeddings(spark, emb):
         ).collect()
         assert all(r["id_a"] != 99999 and r["id_b"] != 99999 for r in pairs)
         assert len(pairs) > 0
+
+
+def test_ivf_recall_check_slo_trips_on_degraded_codebook(spark):
+    """The wired SLO trigger (VERDICT r6 item 8): a codebook matching the
+    data passes the check at the serving nprobe; a degraded codebook (cells
+    orthogonal to the cluster structure, splitting every query's true
+    neighbors across cells) trips retrain=True."""
+    import numpy as np
+
+    from pneuma_treatment_spark.operators import similarity
+
+    rng = np.random.RandomState(0)
+    dim, per = 8, 40
+    bases = []
+    rows, vid = [], 0
+    for c in range(4):
+        b = np.zeros(dim)
+        b[c * 2 : (c + 1) * 2] = 50.0
+        bases.append(b)
+        for _ in range(per):
+            v = b + rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    good = [[float(x) for x in b] for b in bases]
+    celled = similarity.with_ivf_cell(emb, good).persist()
+    queries = good
+    ok = similarity.ivf_recall_check(celled, good, queries, slo=0.9, nprobe=1)
+    assert ok["retrain"] is False and ok["recall"] >= 0.9
+    celled.unpersist()
+
+    # degraded: centroids differ only along a noise coordinate — every
+    # cluster's members scatter across all 4 cells, so nprobe=1 finds only
+    # a fraction of any query's true top-k
+    bad = [[0.0] * (dim - 1) + [tau] for tau in (-3.0, -1.0, 1.0, 3.0)]
+    celled_bad = similarity.with_ivf_cell(emb, bad).persist()
+    trip = similarity.ivf_recall_check(celled_bad, bad, queries, slo=0.9, nprobe=1)
+    assert trip["retrain"] is True and trip["recall"] < 0.9
+    assert trip["slo"] == 0.9 and trip["nprobe"] == 1
+    celled_bad.unpersist()
