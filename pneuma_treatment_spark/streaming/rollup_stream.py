@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -269,6 +270,43 @@ def read_dead_letter(spark: SparkSession, dead_path: str) -> DataFrame:
     distinct guards exact-duplicate source rows)."""
     df = spark.read.option("basePath", dead_path).parquet(dead_path)
     return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").distinct()
+
+
+def prune_stream_epochs(stream_chunk_path: str, batch_high_water_day: str) -> dict:
+    """Discard streaming chunk epoch dirs the batch cascade has re-owned —
+    the delete step of the hot/cold handoff documented on
+    :func:`run_chunk_append_sink`.
+
+    An epoch dir is removable only when EVERY (tier, p_day) partition under
+    it starts strictly before ``batch_high_water_day`` (ISO date: the day
+    through which the batch chunk table is complete — in the pipeline
+    that's the day before the batch run's input high-water mark, since a
+    chunk window starting that day may still be open). Partition pruning by
+    dir NAME only — nothing is read, no Spark session needed; driver-side
+    listing is O(epoch dirs × partitions), the same metadata the sink
+    already enumerates. The exactly-once checkpoint is unaffected: a
+    replayed epoch would recreate its dir, and re-pruning is idempotent.
+    """
+    import shutil
+
+    root = Path(stream_chunk_path)
+    removed, kept = [], []
+    if not root.exists():
+        return {"removed": removed, "kept": kept}
+    for epoch in sorted(root.glob("batch_id=*")):
+        if not epoch.is_dir():
+            continue
+        pdays = [
+            seg.name.split("=", 1)[1]
+            for seg in epoch.glob("tier=*/p_day=*")
+            if seg.is_dir()
+        ]
+        if pdays and all(d < batch_high_water_day for d in pdays):
+            shutil.rmtree(epoch)
+            removed.append(epoch.name)
+        else:
+            kept.append(epoch.name)
+    return {"removed": removed, "kept": kept}
 
 
 def run_chunk_append_sink(

@@ -446,6 +446,21 @@ def test_stream_chunk_dirs_discardable_after_batch_cascade(
     # …with the identical value (NaN == NaN for the load-bearing nulls)
     assert np.allclose(j["value_s"], j["value_b"], equal_nan=True, rtol=0, atol=0)
 
+    # the delete step: behind the batch high-water mark, epoch dirs go;
+    # at/after it, they stay; re-pruning is idempotent
+    from pneuma_treatment_spark.streaming.rollup_stream import prune_stream_epochs
+
+    max_day = max(
+        os.path.basename(p).split("=", 1)[1]
+        for p in _glob.glob(f"{sink}/batch_id=*/tier=*/p_day=*")
+    )
+    keep = prune_stream_epochs(sink, max_day)  # newest window still open
+    assert keep["kept"] and not keep["removed"]
+    gone = prune_stream_epochs(sink, "9999-01-01")
+    assert gone["removed"] and not _glob.glob(f"{sink}/batch_id=*")
+    again = prune_stream_epochs(sink, "9999-01-01")
+    assert again == {"removed": [], "kept": []}
+
 
 def test_deadletter_capture_heals_batch_tables(spark, tmp_path):
     """The lambda closure, end-to-end (VERDICT r6 item 1): rows the rollup
