@@ -1,0 +1,175 @@
+"""Streaming ingest job: the hot end of the lambda architecture as one
+spark-submit surface.
+
+Each CYCLE is an ``availableNow`` drain of the arriving transcript files
+through three exactly-once sinks (each with its own checkpoint under the
+workdir, so a killed job resumes mid-cycle):
+
+* ``rollup_1m_stream/`` — closed 1-minute buckets (parquet append sink,
+  ``run_to_parquet_sink``), the raw tier the batch cascade reads;
+* ``chunks_stream/``    — the same closed buckets Gorilla-encoded per
+  epoch (``run_chunk_append_sink``), discardable once the batch cascade
+  re-owns their range (``--prune-epochs``);
+* ``deadletter/``       — rows the rollup watermark would drop
+  (``run_deadletter_capture``), in the backfill delta schema.
+
+``--heal-into <batch workdir>`` then runs the captured dead-letter delta
+through :func:`pneuma_treatment_spark.plans.backfill.backfill_pipeline`
+(conversation-scoped recompute, partition-scoped merges) — the cold-end
+heal that closes the loop. This is the ops composition of the pieces
+``tests/test_streaming.py`` pins individually; run it per arrival batch
+from a scheduler, or ``--cycles N`` to drain N times in-process.
+
+    python jobs/stream_ingest_job.py --source /data/arrivals \
+        --workdir /tmp/stream_wd --cycles 1 --heal-into /tmp/batch_wd
+    spark-submit --py-files dist/pneuma_treatment_spark.zip \
+        jobs/stream_ingest_job.py ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def run_stream_cycle(
+    spark,
+    source: str,
+    workdir: str,
+    watermark: str = "10 minutes",
+    margin: str = "0 seconds",
+    max_files: int = 8,
+) -> dict:
+    """One availableNow drain through all three sinks; returns per-sink
+    progress counts. Safe to call repeatedly — each sink's checkpoint
+    resumes at its first unprocessed file."""
+    from pneuma_treatment_spark.streaming.rollup_stream import (
+        read_transcript_stream,
+        run_chunk_append_sink,
+        run_deadletter_capture,
+        run_to_parquet_sink,
+        stream_rollup_1m,
+    )
+
+    wd = Path(workdir)
+    sinks = {
+        "rollup_1m_stream": str(wd / "rollup_1m_stream"),
+        "chunks_stream": str(wd / "chunks_stream"),
+        "deadletter": str(wd / "deadletter"),
+    }
+    ck = {k: str(wd / "checkpoints" / k) for k in sinks}
+
+    q1 = run_to_parquet_sink(
+        stream_rollup_1m(
+            read_transcript_stream(spark, source, max_files=max_files),
+            watermark=watermark,
+        ),
+        sinks["rollup_1m_stream"],
+        ck["rollup_1m_stream"],
+    )
+    q2 = run_chunk_append_sink(
+        stream_rollup_1m(
+            read_transcript_stream(spark, source, max_files=max_files),
+            watermark=watermark,
+        ),
+        sinks["chunks_stream"],
+        ck["chunks_stream"],
+    )
+    q3 = run_deadletter_capture(
+        spark,
+        source,
+        sinks["deadletter"],
+        ck["deadletter"],
+        watermark=watermark,
+        margin=margin,
+        max_files=max_files,
+    )
+
+    def progress(q):
+        return [json.loads(p if isinstance(p, str) else p.json) for p in q.recentProgress]
+
+    def rows_in(q):
+        # numInputRows is the reliable progress metric — file sinks report
+        # numOutputRows = -1 (unknown) in Spark 4
+        return sum(int(p.get("numInputRows") or 0) for p in progress(q))
+
+    return {
+        "sinks": sinks,
+        "rollup_input_rows": rows_in(q1),
+        "chunk_epochs": sum(1 for p in progress(q2) if int(p.get("numInputRows") or 0)),
+        "deadletter_batches": sum(
+            1 for p in progress(q3) if int(p.get("numInputRows") or 0)
+        ),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True, help="dir of arriving transcript parquet files")
+    ap.add_argument("--workdir", required=True, help="streaming sink + checkpoint root")
+    ap.add_argument("--watermark", default="10 minutes")
+    ap.add_argument(
+        "--margin", default="0 seconds",
+        help="dead-letter over-capture margin (see run_deadletter_capture)",
+    )
+    ap.add_argument("--max-files", type=int, default=8)
+    ap.add_argument("--cycles", type=int, default=1, help="availableNow drains to run")
+    ap.add_argument(
+        "--heal-into", default=None,
+        help="batch pipeline workdir: run the captured dead-letter delta "
+        "through backfill_pipeline after the last cycle",
+    )
+    ap.add_argument(
+        "--prune-epochs", default=None, metavar="ISO_DAY",
+        help="after the last cycle, discard chunks_stream epoch dirs whose "
+        "every (tier, p_day) starts before this day (the batch cascade's "
+        "high-water mark)",
+    )
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from pneuma_treatment_spark.session import get_spark
+
+    spark = get_spark(
+        "stream-ingest", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    summary: dict = {"cycles": []}
+    for _ in range(args.cycles):
+        summary["cycles"].append(
+            run_stream_cycle(
+                spark, args.source, args.workdir,
+                watermark=args.watermark, margin=args.margin,
+                max_files=args.max_files,
+            )
+        )
+    dead = os.path.join(args.workdir, "deadletter")
+    if args.heal_into:
+        from pneuma_treatment_spark.plans.backfill import backfill_pipeline
+        from pneuma_treatment_spark.streaming.rollup_stream import read_dead_letter
+
+        if os.path.isdir(dead) and any(Path(dead).glob("batch_id=*")):
+            summary["heal"] = backfill_pipeline(
+                spark, args.heal_into, read_dead_letter(spark, dead)
+            )
+        else:
+            summary["heal"] = {"tables": {}, "affected_convs": 0}
+    if args.prune_epochs:
+        from pneuma_treatment_spark.streaming.rollup_stream import prune_stream_epochs
+
+        summary["pruned"] = prune_stream_epochs(
+            os.path.join(args.workdir, "chunks_stream"), args.prune_epochs
+        )
+    summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -571,6 +571,52 @@ def test_deadletter_capture_heals_batch_tables(spark, tmp_path):
         pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False), t
 
 
+def test_stream_ingest_job_cycles(spark, transcripts_df, tmp_path):
+    """The ops surface (jobs/stream_ingest_job.run_stream_cycle): one drain
+    fills the rollup + chunk sinks and captures nothing; a late arrival in
+    the second drain lands in the dead-letter dir in the delta schema."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from jobs.stream_ingest_job import run_stream_cycle
+
+    src = str(tmp_path / "job_src")
+    wd = str(tmp_path / "job_wd")
+    os.makedirs(src)
+    now = _time.time()
+
+    late = transcripts_df.orderBy("ts").limit(5)
+    on_time = transcripts_df.join(
+        late.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    )
+
+    def stage(df, name, mt):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/__s")
+        _sh.move(_glob.glob(f"{src}/__s/part-*.parquet")[0], f"{src}/{name}")
+        _sh.rmtree(f"{src}/__s")
+        os.utime(f"{src}/{name}", (mt, mt))
+
+    stage(on_time, "000.parquet", now - 60)
+    s1 = run_stream_cycle(spark, src, wd)
+    assert s1["rollup_input_rows"] > 0
+    assert spark.read.parquet(f"{wd}/rollup_1m_stream").count() > 0
+    assert _glob.glob(f"{wd}/chunks_stream/batch_id=*")
+    assert not os.path.exists(f"{wd}/deadletter")
+
+    stage(late, "001.parquet", now - 30)
+    s2 = run_stream_cycle(spark, src, wd)
+    assert s2["deadletter_batches"] >= 1
+    cap = spark.read.option("basePath", f"{wd}/deadletter").parquet(
+        f"{wd}/deadletter"
+    )
+    assert cap.count() == 5
+    assert {"conv_id", "turn_idx", "role", "text", "tool", "ts"} <= set(cap.columns)
+
+
 def test_chunk_append_sink_exactly_once(spark, transcripts_df, tmp_path):
     """Streaming chunk append (VERDICT r5 item 7): two availableNow runs on
     one checkpoint — new input arriving between them — produce every chunk
