@@ -126,6 +126,12 @@ def main() -> None:
         "through backfill_pipeline after the last cycle",
     )
     ap.add_argument(
+        "--clear-healed", action="store_true",
+        help="after a successful --heal-into backfill, delete the dead-letter "
+        "epoch dirs that were healed (safe: the backfill committed; a crash "
+        "BEFORE this point leaves the dirs for the idempotent re-run)",
+    )
+    ap.add_argument(
         "--prune-epochs", default=None, metavar="ISO_DAY",
         help="after the last cycle, discard chunks_stream epoch dirs whose "
         "every (tier, p_day) starts before this day (the batch cascade's "
@@ -155,10 +161,17 @@ def main() -> None:
         from pneuma_treatment_spark.plans.backfill import backfill_pipeline
         from pneuma_treatment_spark.streaming.rollup_stream import read_dead_letter
 
-        if os.path.isdir(dead) and any(Path(dead).glob("batch_id=*")):
+        healed_dirs = sorted(Path(dead).glob("batch_id=*")) if os.path.isdir(dead) else []
+        if healed_dirs:
             summary["heal"] = backfill_pipeline(
                 spark, args.heal_into, read_dead_letter(spark, dead)
             )
+            if args.clear_healed:
+                import shutil
+
+                for d in healed_dirs:  # only dirs the heal actually read
+                    shutil.rmtree(d, ignore_errors=True)
+                summary["heal"]["cleared_epochs"] = len(healed_dirs)
         else:
             summary["heal"] = {"tables": {}, "affected_convs": 0}
     if args.prune_epochs:

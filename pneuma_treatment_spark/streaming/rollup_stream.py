@@ -222,16 +222,30 @@ def run_deadletter_capture(
     ``rollup_job --backfill-table <dead_path>`` (backfill drops the
     ``batch_id`` rider and dedupes nothing — captured rows are raw
     turns, one row per source row).
+
+    State is O(1), not O(batches): entries older than ``batch_id − 1``
+    fold into a single ``floor`` max (years of per-minute epochs would
+    otherwise grow the JSON unboundedly). Only the LAST batch can
+    replay, and a replay whose state already folded its own max in
+    computes a (weakly) HIGHER bound — more capture, never less, so the
+    superset guarantee survives every crash point.
     """
     _validate_trigger(available_now, trigger_seconds)
     delay_us = _parse_duration_us(watermark) - _parse_duration_us(margin)
     state_path = os.path.join(checkpoint, "deadletter_maxts.json")
 
     def emit(bdf: DataFrame, batch_id: int) -> None:
-        maxes: dict[str, int] = {}
+        state = {"floor": None, "last": {}}
         if os.path.exists(state_path):
-            maxes = json.loads(open(state_path).read())
-        prior = [v for k, v in maxes.items() if int(k) < batch_id]
+            state = json.loads(open(state_path).read())
+            if "last" not in state:  # flat per-batch map from an older build
+                state = {
+                    "floor": max(state.values()) if state else None,
+                    "last": {},
+                }
+        prior = [v for k, v in state["last"].items() if int(k) < batch_id]
+        if state["floor"] is not None:
+            prior.append(state["floor"])
         row = bdf.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx")).first()
         mx = row["mx"]
         if prior:
@@ -242,11 +256,20 @@ def run_deadletter_capture(
             # one epoch dir per batch, overwritten on replay (exactly-once)
             late.write.mode("overwrite").parquet(f"{dead_path}/batch_id={batch_id}")
         if mx is not None:
-            maxes[str(batch_id)] = int(mx)
+            state["last"][str(batch_id)] = int(mx)
+        # fold everything older than the previous batch into the floor —
+        # bounded state: one floor long + at most two recent entries
+        old = [int(k) for k in state["last"] if int(k) < batch_id - 1]
+        if old:
+            folded = max(state["last"][str(k)] for k in old)
+            state["floor"] = max(state["floor"] or folded, folded)
+            for k in old:
+                del state["last"][str(k)]
+        if mx is not None or old:
             tmp = state_path + ".tmp"
             os.makedirs(checkpoint, exist_ok=True)
             with open(tmp, "w") as f:
-                json.dump(maxes, f)
+                json.dump(state, f)
             os.replace(tmp, state_path)
 
     w = (

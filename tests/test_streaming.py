@@ -616,6 +616,30 @@ def test_stream_ingest_job_cycles(spark, transcripts_df, tmp_path):
     assert cap.count() == 5
     assert {"conv_id", "turn_idx", "role", "text", "tool", "ts"} <= set(cap.columns)
 
+    # capture state stays O(1): older batch maxima fold into the floor
+    import json as _json
+
+    stage(transcripts_df.orderBy(F.desc("ts")).limit(3), "002.parquet", now - 10)
+    run_stream_cycle(spark, src, wd)
+    state = _json.loads(
+        open(f"{wd}/checkpoints/deadletter/deadletter_maxts.json").read()
+    )
+    assert set(state) == {"floor", "last"}
+    assert len(state["last"]) <= 2 and state["floor"] is not None
+
+
+def test_parse_duration_rejects_garbage():
+    import pytest as _pytest
+
+    from pneuma_treatment_spark.streaming.rollup_stream import _parse_duration_us
+
+    assert _parse_duration_us("10 minutes") == 600_000_000
+    assert _parse_duration_us("1 day") == 86_400_000_000
+    assert _parse_duration_us("0 seconds") == 0
+    for bad in ("10", "ten minutes", "10 fortnights", "-5 minutes"):
+        with _pytest.raises(ValueError):
+            _parse_duration_us(bad)
+
 
 def test_chunk_append_sink_exactly_once(spark, transcripts_df, tmp_path):
     """Streaming chunk append (VERDICT r5 item 7): two availableNow runs on
