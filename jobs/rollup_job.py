@@ -106,6 +106,11 @@ def run_pipeline(
             # written-with match (ADVICE r6)
             "n_buckets": n_buckets,
             "chunk_window_days": windows,
+            # NB (r7): adding n_buckets/chunk_window_days to this dict
+            # changed every stage signature — resuming a pre-r7 workdir
+            # rebuilds from scratch once (correct: those params were never
+            # part of the recorded identity, and resuming across the
+            # recording boundary would adopt unverifiable values)
             # shard identity MUST be part of the stage signature: a different
             # shard against the same workdir must not see COMPLETE manifests
             # written by another shard (it would silently return that shard's
@@ -355,6 +360,12 @@ def main() -> None:
         "partition-scoped merges, lineage re-spliced — "
         "plans/backfill.delete_conversations)",
     )
+    ap.add_argument(
+        "--scrub-deadletter", action="append", default=[], metavar="DIR",
+        help="with --delete-convs: also scrub the victims' rows out of "
+        "this dead-letter capture dir (repeatable; an uncleared delta "
+        "would re-insert them at the next heal)",
+    )
     args = ap.parse_args()
 
     from pneuma_treatment_spark.session import get_spark
@@ -376,6 +387,7 @@ def main() -> None:
             args.workdir,
             spark.read.parquet(args.delete_convs),
             n_buckets=args.buckets,  # None → adopt the recorded count
+            deadletter_dirs=args.scrub_deadletter,
         )
         summary["total_wall_sec"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(summary))

@@ -45,6 +45,7 @@ def run_stream_cycle(
     watermark: str = "10 minutes",
     margin: str = "0 seconds",
     max_files: int = 8,
+    strict_capture: bool = False,
 ) -> dict:
     """One availableNow drain through all three sinks; returns per-sink
     progress counts. Safe to call repeatedly — each sink's checkpoint
@@ -89,6 +90,7 @@ def run_stream_cycle(
         watermark=watermark,
         margin=margin,
         max_files=max_files,
+        strict=strict_capture,
     )
 
     def progress(q):
@@ -117,6 +119,13 @@ def main() -> None:
     ap.add_argument(
         "--margin", default="0 seconds",
         help="dead-letter over-capture margin (see run_deadletter_capture)",
+    )
+    ap.add_argument(
+        "--strict-capture", action="store_true",
+        help="include the current batch's max event time in the capture "
+        "bound: captured ⊇ dropped under EVERY micro-batch interleaving "
+        "(use when a drain can span more than --max-files files; costs "
+        "over-capture — the first drain captures the pre-horizon backlog)",
     )
     ap.add_argument("--max-files", type=int, default=8)
     ap.add_argument("--cycles", type=int, default=1, help="availableNow drains to run")
@@ -153,7 +162,7 @@ def main() -> None:
             run_stream_cycle(
                 spark, args.source, args.workdir,
                 watermark=args.watermark, margin=args.margin,
-                max_files=args.max_files,
+                max_files=args.max_files, strict_capture=args.strict_capture,
             )
         )
     dead = os.path.join(args.workdir, "deadletter")

@@ -256,13 +256,32 @@ def _update_lineage(io: TableIO, name: str, stats: dict) -> None:
     os.replace(tmp_m, mpath)
 
 
+def _manifest_config(workdir: str, stage: str) -> dict:
+    """The raw config dict a stage's manifest recorded ({} when the
+    manifest or the config predates recording)."""
+    mp = Path(workdir) / "_manifest" / f"{stage}.json"
+    if not mp.exists():
+        return {}
+    return json.loads(mp.read_text()).get("config") or {}
+
+
 def _adopt_recorded_buckets(rec_cfg: dict, n_buckets: int | None) -> int:
     """Adopt the manifest-recorded bucket count, erroring on contradiction
     (ADVICE r6: a wrong count prunes the wrong p_bucket set — silent row
-    duplication / missed removals)."""
+    duplication / missed removals). A workdir whose manifests predate
+    bucket recording is a LOUD error when no explicit count is given:
+    guessing a default here is exactly the silent-wrong-bucket-set failure
+    the adoption exists to prevent."""
     rec_nb = rec_cfg.get("n_buckets")
     if n_buckets is None:
-        return int(rec_nb) if rec_nb is not None else 8
+        if rec_nb is None:
+            raise ValueError(
+                "the table manifests record no bucket count (pre-recording "
+                "build) — pass --buckets with the value the tables were "
+                "written with; a guessed default would prune the wrong "
+                "p_bucket set"
+            )
+        return int(rec_nb)
     if rec_nb is not None and int(rec_nb) != n_buckets:
         raise ValueError(
             f"n_buckets={n_buckets} contradicts the bucket count recorded in "
@@ -299,8 +318,7 @@ def backfill_pipeline(
     single-shard workdir (sharded deployments backfill through the shard
     that owns the conversations; the CLI rejects ``--shard-count > 1``).
     """
-    fm = Path(workdir) / "_manifest" / "filled.json"
-    rec_cfg = json.loads(fm.read_text()).get("config") or {} if fm.exists() else {}
+    rec_cfg = _manifest_config(workdir, "filled")
     recorded = rec_cfg.get("treatment")
     if cfg is None:
         # pre-config-recording manifests fall back to defaults (documented)
@@ -314,12 +332,7 @@ def backfill_pipeline(
     # chunk window map: adopt what the chunks table was written with (a
     # default-map re-encode of a custom-windowed table would break the
     # chunk_ttl_sql_predicate window/predicate match)
-    cm = Path(workdir) / "_manifest" / "chunks.json"
-    rec_windows = (
-        (json.loads(cm.read_text()).get("config") or {}).get("chunk_window_days")
-        if cm.exists()
-        else None
-    )
+    rec_windows = _manifest_config(workdir, "chunks").get("chunk_window_days")
     chunk_windows = (
         {str(k): int(v) for k, v in rec_windows.items()} if rec_windows else None
     )
@@ -461,11 +474,65 @@ _TABLE_TS = (
 )
 
 
+def scrub_deadletter(spark: SparkSession, dead_path: str, convs: DataFrame) -> dict:
+    """Remove conversations' rows from a dead-letter capture dir — the one
+    STREAMING store that holds raw text (the erasure-relevant payload) and
+    is not re-derivable, so a compliance deletion must scrub it too: an
+    uncleared dead-letter delta would otherwise RE-INSERT the deleted
+    conversation into freshly cleaned batch tables at the next heal.
+
+    Each touched epoch dir is rewritten without the victims via a
+    rename-aside swap (crash at any point leaves old or new restorable;
+    a leftover aside from a crashed scrub is healed on the next call);
+    epochs left empty are removed entirely. Untouched epochs are not
+    read twice, not rewritten."""
+    import shutil as _sh
+
+    root = Path(dead_path)
+    out = {"rows_removed": 0, "epochs_rewritten": [], "epochs_removed": []}
+    if not root.exists():
+        return out
+    # heal a crash between the two renames of a previous scrub
+    for aside in root.glob("batch_id=*.__old__"):
+        orig = Path(str(aside)[: -len(".__old__")])
+        if not orig.exists():
+            _sh.move(str(aside), str(orig))
+        else:
+            _sh.rmtree(str(aside), ignore_errors=True)
+    aff = convs.select("conv_id").distinct()
+    for epoch in sorted(root.glob("batch_id=*")):
+        if not epoch.is_dir():
+            continue
+        df = spark.read.parquet(str(epoch))
+        keep = df.join(F.broadcast(aff), "conv_id", "left_anti").persist()
+        n_all = df.count()
+        n_keep = keep.count()
+        if n_keep == n_all:
+            keep.unpersist()
+            continue
+        out["rows_removed"] += n_all - n_keep
+        if n_keep:
+            tmp = str(epoch) + ".__rewrite__"
+            keep.write.mode("overwrite").parquet(tmp)
+            aside = str(epoch) + ".__old__"
+            _sh.rmtree(aside, ignore_errors=True)
+            _sh.move(str(epoch), aside)
+            _sh.move(tmp, str(epoch))
+            _sh.rmtree(aside, ignore_errors=True)
+            out["epochs_rewritten"].append(epoch.name)
+        else:
+            _sh.rmtree(str(epoch))
+            out["epochs_removed"].append(epoch.name)
+        keep.unpersist()
+    return out
+
+
 def delete_conversations(
     spark: SparkSession,
     workdir: str,
     convs: DataFrame,
     n_buckets: int | None = None,
+    deadletter_dirs: list[str] | tuple[str, ...] = (),
 ) -> dict:
     """Remove whole conversations from every pipeline table (VERDICT r6
     item 5 — the compliance shape: a user-erasure request must delete the
@@ -484,12 +551,19 @@ def delete_conversations(
     already-deleted conversation is a no-op merge. ``n_buckets`` adopts
     the manifest-recorded count (contradiction is a loud error).
     Sharded deployments delete through the owning shard, like
-    ``--backfill-table``."""
+    ``--backfill-table``.
+
+    Streaming-side stores: pass the deployment's dead-letter dirs via
+    ``deadletter_dirs`` — they hold raw text and would RE-INSERT the
+    conversation at the next heal (:func:`scrub_deadletter`). The derived
+    streaming sinks (``rollup_1m_stream/``, ``chunks_stream/``) are
+    rebuildable hot-end caches re-owned by the batch cascade: complete an
+    erasure by pruning/resetting them (``prune_stream_epochs`` /
+    checkpoint reset), not by in-place rewrites that would corrupt the
+    sinks' ``_spark_metadata`` transaction logs."""
     if "conv_id" not in convs.columns:
         raise ValueError("delete_conversations needs a conv_id column")
-    fm = Path(workdir) / "_manifest" / "filled.json"
-    rec_cfg = json.loads(fm.read_text()).get("config") or {} if fm.exists() else {}
-    n_buckets = _adopt_recorded_buckets(rec_cfg, n_buckets)
+    n_buckets = _adopt_recorded_buckets(_manifest_config(workdir, "filled"), n_buckets)
     io = TableIO(spark, workdir, n_buckets=n_buckets)
     affected = convs.select("conv_id").distinct().persist()
     if affected.where(F.col("conv_id").isNull()).limit(1).count():
@@ -515,5 +589,9 @@ def delete_conversations(
 
     with ThreadPoolExecutor(max_workers=min(4, max(1, len(jobs)))) as ex:
         tables = dict(ex.map(_one, jobs))
+    scrubbed = {d: scrub_deadletter(spark, d, affected) for d in deadletter_dirs}
     affected.unpersist()
-    return {"tables": tables, "affected_convs": n_aff}
+    out = {"tables": tables, "affected_convs": n_aff}
+    if scrubbed:
+        out["deadletter"] = scrubbed
+    return out

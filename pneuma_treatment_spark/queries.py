@@ -1159,7 +1159,12 @@ def _split_case_sql(key_sql: str, seed: int) -> str:
     whens = " ".join(
         f"WHEN {u} < {acc!r} THEN '{name}'" for name, acc in zip(names[:-1], accs)
     )
-    return f"CASE {whens} ELSE '{names[-1]}' END"
+    # null key → null split (split_assign's documented behavior; an
+    # unguarded CASE would fall through NULL comparisons to the last split)
+    return (
+        f"CASE WHEN {key_sql} IS NULL THEN NULL "
+        f"{whens} ELSE '{names[-1]}' END"
+    )
 
 
 _FX_VALUES = ",\n      ".join(

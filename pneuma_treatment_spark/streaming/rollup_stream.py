@@ -190,6 +190,7 @@ def run_deadletter_capture(
     max_files: int = 8,
     available_now: bool = True,
     trigger_seconds: int | None = None,
+    strict: bool = False,
 ):
     """Capture watermark-droppable raw rows into a backfill delta dir —
     the dead-letter producer whose consumer is :mod:`..plans.backfill`
@@ -214,11 +215,20 @@ def run_deadletter_capture(
     files that exist), the capture sees the same arrival boundaries as
     the aggregation, so the captured set equals the dropped set. If the
     two queries' micro-batches can interleave differently WITHIN a cycle
-    (FileStreamSource breaks mtime ties arbitrarily), pass a ``margin``
-    (subtracted from the delay, i.e. the bound moves LATER): rows within
-    ``margin`` of the bound are then captured even though the agg may
-    have kept them — over-capture is harmless, the backfill upsert is
-    idempotent, while under-capture loses the row. Healing:
+    (a drain spanning more than ``max_files`` files where
+    FileStreamSource's arbitrary mtime tie-break orders them
+    differently), the prior-batches rule can UNDER-capture — for those
+    deployments either pass a ``margin`` (subtracted from the delay,
+    i.e. the bound moves LATER — covers bounded tie-skew) or set
+    ``strict=True``: the bound then also includes the CURRENT batch's
+    max event time, which upper-bounds any watermark the aggregation can
+    hold while processing these rows, making the captured set a
+    GUARANTEED superset of the dropped set under every interleaving.
+    Strict cost: rows kept by the agg but older than (cycle max − delay)
+    are captured too — on the first drain that is the whole pre-horizon
+    backlog (harmless: the heal upsert is idempotent, and a first drain
+    against fresh batch tables is an initial backfill anyway); in steady
+    state the over-capture is one cycle's event-time advance. Healing:
     ``rollup_job --backfill-table <dead_path>`` (backfill drops the
     ``batch_id`` rider and dedupes nothing — captured rows are raw
     turns, one row per source row).
@@ -248,13 +258,21 @@ def run_deadletter_capture(
             prior.append(state["floor"])
         row = bdf.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx")).first()
         mx = row["mx"]
+        if strict and mx is not None:
+            prior.append(int(mx))
         if prior:
             bound_us = max(prior) - delay_us
             late = bdf.where(
                 F.unix_micros(F.col("ts").cast("timestamp")) < F.lit(bound_us)
-            )
-            # one epoch dir per batch, overwritten on replay (exactly-once)
-            late.write.mode("overwrite").parquet(f"{dead_path}/batch_id={batch_id}")
+            ).persist()
+            # one epoch dir per batch, overwritten on replay (exactly-once);
+            # written ONLY when non-empty — continuous mode would otherwise
+            # litter one empty dir per trigger and make every heal re-read
+            # all history. Safe under replay: the bound is weakly higher on
+            # a replay, so a non-empty epoch can never become empty-skipped.
+            if late.count():
+                late.write.mode("overwrite").parquet(f"{dead_path}/batch_id={batch_id}")
+            late.unpersist()
         if mx is not None:
             state["last"][str(batch_id)] = int(mx)
         # fold everything older than the previous batch into the floor —
@@ -310,8 +328,13 @@ def prune_stream_epochs(stream_chunk_path: str, batch_high_water_day: str) -> di
     already enumerates. The exactly-once checkpoint is unaffected: a
     replayed epoch would recreate its dir, and re-pruning is idempotent.
     """
+    import datetime
     import shutil
 
+    # a malformed high-water string would lexicographically exceed every
+    # ISO p_day and delete the ENTIRE sink, open windows included — parse
+    # both sides as dates instead of trusting string order
+    hw = datetime.date.fromisoformat(batch_high_water_day)
     root = Path(stream_chunk_path)
     removed, kept = [], []
     if not root.exists():
@@ -319,12 +342,16 @@ def prune_stream_epochs(stream_chunk_path: str, batch_high_water_day: str) -> di
     for epoch in sorted(root.glob("batch_id=*")):
         if not epoch.is_dir():
             continue
-        pdays = [
-            seg.name.split("=", 1)[1]
-            for seg in epoch.glob("tier=*/p_day=*")
-            if seg.is_dir()
-        ]
-        if pdays and all(d < batch_high_water_day for d in pdays):
+        pdays = []
+        parse_ok = True
+        for seg in epoch.glob("tier=*/p_day=*"):
+            if not seg.is_dir():
+                continue
+            try:
+                pdays.append(datetime.date.fromisoformat(seg.name.split("=", 1)[1]))
+            except ValueError:
+                parse_ok = False  # unrecognized layout: keep, never guess
+        if parse_ok and pdays and all(d < hw for d in pdays):
             shutil.rmtree(epoch)
             removed.append(epoch.name)
         else:

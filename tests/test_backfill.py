@@ -326,6 +326,45 @@ def test_delete_conversations_equals_filtered_rebuild(spark, tmp_path):
     shutil.rmtree(wd_b, ignore_errors=True)
 
 
+def test_scrub_deadletter_removes_victims_only(spark, tmp_path):
+    """Compliance deletion must reach the dead-letter raw-text store: the
+    victims' rows leave every epoch dir, other rows are byte-identical,
+    an epoch emptied entirely disappears, and a re-scrub is a no-op."""
+    from pneuma_treatment_spark.plans.backfill import scrub_deadletter
+
+    dead = tmp_path / "dead"
+    rows0 = [("cv", 0, "user", "victim secret", None, "2024-01-01 10:00:00"),
+             ("ck", 0, "user", "kept text", None, "2024-01-01 10:01:00")]
+    rows1 = [("cv", 1, "user", "victim only epoch", None, "2024-01-01 11:00:00")]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    for i, rows in enumerate((rows0, rows1)):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(str(dead / f"batch_id={i}"))
+
+    victims = spark.createDataFrame([("cv",)], ["conv_id"])
+    out = scrub_deadletter(spark, str(dead), victims)
+    assert out["rows_removed"] == 2
+    assert out["epochs_rewritten"] == ["batch_id=0"]
+    assert out["epochs_removed"] == ["batch_id=1"]
+    left = spark.read.option("basePath", str(dead)).parquet(str(dead)).collect()
+    assert len(left) == 1 and left[0]["conv_id"] == "ck" and left[0]["text"] == "kept text"
+    again = scrub_deadletter(spark, str(dead), victims)
+    assert again["rows_removed"] == 0 and not again["epochs_rewritten"]
+
+
+def test_adopt_buckets_is_loud_without_a_record(tmp_path):
+    """No recorded bucket count + no explicit --buckets must ERROR: a
+    guessed default is exactly the wrong-bucket-set pruning the adoption
+    exists to prevent."""
+    from pneuma_treatment_spark.plans.backfill import _adopt_recorded_buckets
+
+    with pytest.raises(ValueError, match="record"):
+        _adopt_recorded_buckets({}, None)
+    assert _adopt_recorded_buckets({}, 16) == 16
+    assert _adopt_recorded_buckets({"n_buckets": 8}, None) == 8
+
+
 def test_backfill_adopts_recorded_chunk_windows(spark, tmp_path):
     """A chunks table written with a CUSTOM window map must be re-encoded
     with the same map on backfill (ADVICE r6) — mixed maps would break

@@ -628,6 +628,70 @@ def test_stream_ingest_job_cycles(spark, transcripts_df, tmp_path):
     assert len(state["last"]) <= 2 and state["floor"] is not None
 
 
+def test_strict_capture_bounds_first_drain(spark, transcripts_df, tmp_path):
+    """strict=True includes the current batch's max in the bound — the
+    guaranteed-superset mode: the very first drain already captures the
+    pre-horizon backlog (non-strict captures nothing on batch 0)."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pneuma_treatment_spark.streaming.rollup_stream import (
+        run_deadletter_capture,
+    )
+
+    src = str(tmp_path / "strict_src")
+    os.makedirs(src)
+    transcripts_df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
+    _sh.move(_glob.glob(f"{src}/b/part-*.parquet")[0], f"{src}/000.parquet")
+    _sh.rmtree(f"{src}/b")
+    os.utime(f"{src}/000.parquet", (_time.time() - 60,) * 2)
+
+    dead_ns = str(tmp_path / "dead_nonstrict")
+    run_deadletter_capture(spark, src, dead_ns, str(tmp_path / "ck_ns"))
+    assert not os.path.exists(dead_ns)  # batch 0, no prior: nothing
+
+    dead_s = str(tmp_path / "dead_strict")
+    run_deadletter_capture(spark, src, dead_s, str(tmp_path / "ck_s"), strict=True)
+    cap = spark.read.option("basePath", dead_s).parquet(dead_s)
+    mx = transcripts_df.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).first()[0]
+    want = transcripts_df.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) < F.lit(mx - 10 * 60_000_000)
+    ).count()
+    assert want > 0 and cap.count() == want
+
+
+def test_prune_epochs_rejects_malformed_dates(tmp_path):
+    """A malformed high-water string must raise, never lexicographically
+    out-sort every ISO p_day and delete the whole sink; unparseable p_day
+    layouts are kept, never guessed at."""
+    import os
+
+    import pytest as _pytest
+
+    from pneuma_treatment_spark.streaming.rollup_stream import prune_stream_epochs
+
+    root = tmp_path / "sink"
+    os.makedirs(root / "batch_id=0" / "tier=1m" / "p_day=2024-01-01")
+    os.makedirs(root / "batch_id=1" / "tier=1m" / "p_day=weird")
+    for bad in ("2024/01/02", "tomorrow", "9999-99-99"):
+        with _pytest.raises(ValueError):
+            prune_stream_epochs(str(root), bad)
+    # compact ISO parses (py3.11 fromisoformat) — and as a DATE it compares
+    # correctly, unlike the lexicographic trap this test guards against
+    assert prune_stream_epochs(str(root), "20230101") == {
+        "removed": [], "kept": ["batch_id=0", "batch_id=1"]
+    }
+    out = prune_stream_epochs(str(root), "2025-01-01")
+    assert out["removed"] == ["batch_id=0"]
+    assert out["kept"] == ["batch_id=1"]  # unparseable p_day: kept
+
+
 def test_parse_duration_rejects_garbage():
     import pytest as _pytest
 

@@ -145,3 +145,26 @@ def test_repetition_stats_hand_values(spark):
     assert out[4]["dup_line_frac"] == 0.0
     assert out[5]["dup_line_frac"] is None
     assert out[6]["dup_line_frac"] is None and out[6]["dup_3gram_frac"] is None
+
+
+def test_split_case_sql_null_key_matches_operator(spark):
+    """The DuckDB twin must mirror split_assign's null-key → null-split
+    behavior (an unguarded CASE falls through NULL comparisons to the
+    last split)."""
+    import duckdb
+
+    from pneuma_treatment_spark.operators.textstats import split_assign
+    from pneuma_treatment_spark.queries import _SPLIT_W, _split_case_sql
+
+    df = spark.createDataFrame([(None,), ("k1",), ("k2",)], "k string")
+    got = {
+        r["k"]: r["split"]
+        for r in split_assign(df, _SPLIT_W, key="k", seed=0).collect()
+    }
+    sql = _split_case_sql("k", 0)
+    want = dict(
+        duckdb.sql(
+            f"SELECT k, {sql} AS split FROM (VALUES (NULL), ('k1'), ('k2')) t(k)"
+        ).fetchall()
+    )
+    assert got == want and got[None] is None
