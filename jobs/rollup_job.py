@@ -376,6 +376,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if args.delete_convs and args.backfill_table:
         ap.error("--delete-convs and --backfill-table are separate ops — run them one at a time")
+    if args.scrub_deadletter and not args.delete_convs:
+        ap.error(
+            "--scrub-deadletter only acts with --delete-convs — alone it "
+            "would silently scrub nothing (the victims come from the "
+            "delete set)"
+        )
     if args.delete_convs:
         from pneuma_treatment_spark.plans.backfill import delete_conversations
 

@@ -93,21 +93,27 @@ def run_stream_cycle(
         strict=strict_capture,
     )
 
-    def progress(q):
-        return [json.loads(p if isinstance(p, str) else p.json) for p in q.recentProgress]
-
     def rows_in(q):
-        # numInputRows is the reliable progress metric — file sinks report
-        # numOutputRows = -1 (unknown) in Spark 4
-        return sum(int(p.get("numInputRows") or 0) for p in progress(q))
+        # ADVISORY: numInputRows summed over recentProgress (file sinks
+        # report numOutputRows=-1 on Spark 4, and recentProgress keeps only
+        # the last spark.sql.streaming.numRecentProgressUpdates entries —
+        # a >100-micro-batch drain undercounts here). The dir counts below
+        # are exact; this is a liveness signal, not an accounting one.
+        return sum(
+            int(json.loads(p if isinstance(p, str) else p.json).get("numInputRows") or 0)
+            for p in q.recentProgress
+        )
+
+    def epoch_dirs(path):
+        # exact: epochs that actually wrote output (watermark-only flush
+        # batches and no-late-row batches write nothing)
+        return len(list(Path(path).glob("batch_id=*"))) if os.path.isdir(path) else 0
 
     return {
         "sinks": sinks,
         "rollup_input_rows": rows_in(q1),
-        "chunk_epochs": sum(1 for p in progress(q2) if int(p.get("numInputRows") or 0)),
-        "deadletter_batches": sum(
-            1 for p in progress(q3) if int(p.get("numInputRows") or 0)
-        ),
+        "chunk_epoch_dirs": epoch_dirs(sinks["chunks_stream"]),
+        "deadletter_epoch_dirs": epoch_dirs(sinks["deadletter"]),
     }
 
 

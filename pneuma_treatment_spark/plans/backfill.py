@@ -227,26 +227,25 @@ def _update_lineage(io: TableIO, name: str, stats: dict) -> None:
         return
     m = json.loads(mpath.read_text())
     m["rows"] = int(m["rows"]) - stats["removed"] + stats["added"]
-    ppath = Path(io.root) / "_manifest" / f"{name}_partitions"
-    aside = Path(str(ppath) + ".__old__")
-    if not ppath.exists() and aside.exists():
-        # heal a crash between the two renames of a previous backfill
-        shutil.move(str(aside), str(ppath))
+    mdir = Path(io.root) / "_manifest"
+    ppath = mdir / f"{name}_partitions"
+    legacy_aside = Path(str(ppath) + ".__old__")
+    if not ppath.exists() and legacy_aside.exists():
+        # heal a crash from a pre-r7 build (old aside naming)
+        shutil.move(str(legacy_aside), str(ppath))
+    _heal_asides(mdir, f".aside.{name}_partitions")
     days = sorted(stats["aff_days"])
     if ppath.exists() and days:
         old = io.spark.read.parquet(str(ppath))
         recount = partition_counts(io.read(name).where(F.col("p_day").isin(days)))
         newc = old.where(~F.col("p_day").isin(days)).unionByName(recount)
-        tmp = str(ppath) + ".__rewrite__"
+        tmp = str(mdir / f".rewrite.{ppath.name}")
         newc.repartition(1).write.mode("overwrite").parquet(tmp)
         # swap via rename-aside, never delete-before-replace: a crash at
-        # any point leaves either the old or the new table restorable (the
-        # heal above re-runs the aside rename), so the documented
-        # re-run-the-delta recovery actually recovers
-        shutil.rmtree(aside, ignore_errors=True)
-        shutil.move(str(ppath), str(aside))
-        shutil.move(tmp, str(ppath))
-        shutil.rmtree(aside, ignore_errors=True)
+        # any point leaves either the old or the new table restorable
+        # (_heal_asides above), so the documented re-run-the-delta
+        # recovery actually recovers
+        _swap_dir(ppath, tmp)
         m["n_partitions"] = io.spark.read.parquet(str(ppath)).count()
     m["backfilled_at"] = time.time()
     # crash-atomic: a kill mid-write must never leave truncated JSON (the
@@ -254,6 +253,35 @@ def _update_lineage(io: TableIO, name: str, stats: dict) -> None:
     tmp_m = mpath.with_suffix(".json.tmp")
     tmp_m.write_text(json.dumps(m, indent=2))
     os.replace(tmp_m, mpath)
+
+
+def _swap_dir(orig: Path, tmp: str) -> None:
+    """Replace directory ``orig`` with ``tmp`` via rename-aside: a crash at
+    any point leaves either the old or the new contents restorable
+    (:func:`_heal_asides`), never a half-deleted dir. The aside name is
+    DOT-PREFIXED so it is invisible both to Spark's file listing and to
+    any ``batch_id=*``-style glob — a visible aside would let readers
+    resurrect the pre-swap contents (the erasure-undo bug class)."""
+    aside = orig.parent / f".aside.{orig.name}"
+    shutil.rmtree(aside, ignore_errors=True)
+    shutil.move(str(orig), str(aside))
+    shutil.move(tmp, str(orig))
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def _heal_asides(root: Path, pattern: str = ".aside.*") -> None:
+    """Recover from a crash inside :func:`_swap_dir`: an aside whose
+    original is missing moves back; one whose original exists (crash after
+    the forward move) is stale and is dropped. Callers that run
+    CONCURRENTLY over one directory (the parallel per-table lineage
+    updates) must pass a ``pattern`` scoped to their own name — a global
+    heal would resurrect a sibling thread's mid-swap aside."""
+    for aside in root.glob(pattern):
+        orig = aside.parent / aside.name[len(".aside."):]
+        if not orig.exists():
+            shutil.move(str(aside), str(orig))
+        else:
+            shutil.rmtree(str(aside), ignore_errors=True)
 
 
 def _manifest_config(workdir: str, stage: str) -> dict:
@@ -486,19 +514,11 @@ def scrub_deadletter(spark: SparkSession, dead_path: str, convs: DataFrame) -> d
     a leftover aside from a crashed scrub is healed on the next call);
     epochs left empty are removed entirely. Untouched epochs are not
     read twice, not rewritten."""
-    import shutil as _sh
-
     root = Path(dead_path)
     out = {"rows_removed": 0, "epochs_rewritten": [], "epochs_removed": []}
     if not root.exists():
         return out
-    # heal a crash between the two renames of a previous scrub
-    for aside in root.glob("batch_id=*.__old__"):
-        orig = Path(str(aside)[: -len(".__old__")])
-        if not orig.exists():
-            _sh.move(str(aside), str(orig))
-        else:
-            _sh.rmtree(str(aside), ignore_errors=True)
+    _heal_asides(root)  # a crash inside a previous scrub's swap
     aff = convs.select("conv_id").distinct()
     for epoch in sorted(root.glob("batch_id=*")):
         if not epoch.is_dir():
@@ -512,16 +532,13 @@ def scrub_deadletter(spark: SparkSession, dead_path: str, convs: DataFrame) -> d
             continue
         out["rows_removed"] += n_all - n_keep
         if n_keep:
-            tmp = str(epoch) + ".__rewrite__"
+            # dot-prefixed tmp: never visible to readers mid-rewrite
+            tmp = str(epoch.parent / f".rewrite.{epoch.name}")
             keep.write.mode("overwrite").parquet(tmp)
-            aside = str(epoch) + ".__old__"
-            _sh.rmtree(aside, ignore_errors=True)
-            _sh.move(str(epoch), aside)
-            _sh.move(tmp, str(epoch))
-            _sh.rmtree(aside, ignore_errors=True)
+            _swap_dir(epoch, tmp)
             out["epochs_rewritten"].append(epoch.name)
         else:
-            _sh.rmtree(str(epoch))
+            shutil.rmtree(str(epoch))
             out["epochs_removed"].append(epoch.name)
         keep.unpersist()
     return out

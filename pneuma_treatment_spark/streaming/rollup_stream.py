@@ -256,6 +256,7 @@ def run_deadletter_capture(
         prior = [v for k, v in state["last"].items() if int(k) < batch_id]
         if state["floor"] is not None:
             prior.append(state["floor"])
+        bdf = bdf.persist()  # the max job + late filter read ONE materialization
         row = bdf.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx")).first()
         mx = row["mx"]
         if strict and mx is not None:
@@ -264,15 +265,15 @@ def run_deadletter_capture(
             bound_us = max(prior) - delay_us
             late = bdf.where(
                 F.unix_micros(F.col("ts").cast("timestamp")) < F.lit(bound_us)
-            ).persist()
+            )
             # one epoch dir per batch, overwritten on replay (exactly-once);
             # written ONLY when non-empty — continuous mode would otherwise
             # litter one empty dir per trigger and make every heal re-read
             # all history. Safe under replay: the bound is weakly higher on
             # a replay, so a non-empty epoch can never become empty-skipped.
-            if late.count():
+            if late.limit(1).count():
                 late.write.mode("overwrite").parquet(f"{dead_path}/batch_id={batch_id}")
-            late.unpersist()
+        bdf.unpersist()
         if mx is not None:
             state["last"][str(batch_id)] = int(mx)
         # fold everything older than the previous batch into the floor —

@@ -353,6 +353,43 @@ def test_scrub_deadletter_removes_victims_only(spark, tmp_path):
     assert again["rows_removed"] == 0 and not again["epochs_rewritten"]
 
 
+def test_crashed_scrub_aside_is_invisible_and_heals(spark, tmp_path):
+    """A crash inside the scrub swap must never let readers resurrect the
+    pre-scrub contents: the aside dir is dot-prefixed (invisible to Spark
+    listing and batch_id=* globs), a concurrent heal reads only the
+    scrubbed rows, and the next scrub restores the aside before acting."""
+    from pneuma_treatment_spark.plans.backfill import scrub_deadletter
+    from pneuma_treatment_spark.streaming.rollup_stream import read_dead_letter
+
+    dead = tmp_path / "dead"
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    spark.createDataFrame(
+        [("ck", 0, "user", "kept", None, "2024-01-01 10:00:00")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        str(dead / "batch_id=0")
+    )
+    # simulate a crash mid-swap: the ORIGINAL (victim-bearing) epoch sits
+    # in the aside, the rewritten dir never landed
+    spark.createDataFrame(
+        [("cv", 0, "user", "victim secret", None, "2024-01-01 11:00:00")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        str(dead / ".aside.batch_id=1")
+    )
+
+    # readers see only live epochs — the aside's raw text is invisible
+    rows = read_dead_letter(spark, str(dead)).collect()
+    assert [r["conv_id"] for r in rows] == ["ck"]
+
+    # the next scrub heals the aside back, then scrubs it like any epoch
+    out = scrub_deadletter(
+        spark, str(dead), spark.createDataFrame([("cv",)], ["conv_id"])
+    )
+    assert out["rows_removed"] == 1 and out["epochs_removed"] == ["batch_id=1"]
+    assert not (dead / ".aside.batch_id=1").exists()
+    left = read_dead_letter(spark, str(dead)).collect()
+    assert [r["conv_id"] for r in left] == ["ck"]
+
+
 def test_adopt_buckets_is_loud_without_a_record(tmp_path):
     """No recorded bucket count + no explicit --buckets must ERROR: a
     guessed default is exactly the wrong-bucket-set pruning the adoption

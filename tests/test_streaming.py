@@ -604,12 +604,12 @@ def test_stream_ingest_job_cycles(spark, transcripts_df, tmp_path):
     s1 = run_stream_cycle(spark, src, wd)
     assert s1["rollup_input_rows"] > 0
     assert spark.read.parquet(f"{wd}/rollup_1m_stream").count() > 0
-    assert _glob.glob(f"{wd}/chunks_stream/batch_id=*")
-    assert not os.path.exists(f"{wd}/deadletter")
+    assert s1["chunk_epoch_dirs"] >= 1
+    assert s1["deadletter_epoch_dirs"] == 0 and not os.path.exists(f"{wd}/deadletter")
 
     stage(late, "001.parquet", now - 30)
     s2 = run_stream_cycle(spark, src, wd)
-    assert s2["deadletter_batches"] >= 1
+    assert s2["deadletter_epoch_dirs"] >= 1
     cap = spark.read.option("basePath", f"{wd}/deadletter").parquet(
         f"{wd}/deadletter"
     )
