@@ -628,6 +628,76 @@ def test_stream_ingest_job_cycles(spark, transcripts_df, tmp_path):
     assert len(state["last"]) <= 2 and state["floor"] is not None
 
 
+def test_strict_capture_overcapture_still_heals_exactly(spark, tmp_path):
+    """The strict-mode safety claim, end-to-end: strict capture grabs a
+    SUPERSET of the dropped rows (here: most of the on-time backlog on the
+    first drain), and healing that over-captured delta is idempotent —
+    batch tables still end bit-equal to a from-scratch build."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jobs.rollup_job import run_pipeline
+    from pneuma_treatment_spark.io.tableio import TableIO
+    from pneuma_treatment_spark.plans.backfill import backfill_pipeline
+    from pneuma_treatment_spark.streaming.rollup_stream import (
+        read_dead_letter,
+        run_deadletter_capture,
+    )
+    from pneuma_treatment_spark.synth import generate_transcripts
+
+    args = dict(n_convs=10, seed=21, mega_turns=0)
+    full_path = str(tmp_path / "sfull_raw")
+    generate_transcripts(spark, 10, seed=21).write.parquet(full_path)
+    full = spark.read.parquet(full_path)
+    c0 = full.select("conv_id").distinct().orderBy("conv_id").first()["conv_id"]
+    late = full.where((F.col("conv_id") == c0) & (F.col("turn_idx") < 2))
+    on_time = full.join(
+        late.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    )
+    on_path = str(tmp_path / "son_raw")
+    on_time.write.parquet(on_path)
+
+    src = str(tmp_path / "s_src")
+    dead = str(tmp_path / "s_dead")
+    ckpt = str(tmp_path / "s_ckpt")
+    os.makedirs(src)
+    now = _time.time()
+
+    def stage(df, name, mt):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/__s")
+        _sh.move(_glob.glob(f"{src}/__s/part-*.parquet")[0], f"{src}/{name}")
+        _sh.rmtree(f"{src}/__s")
+        os.utime(f"{src}/{name}", (mt, mt))
+
+    stage(on_time, "000.parquet", now - 60)
+    run_deadletter_capture(spark, src, dead, ckpt, strict=True)
+    stage(late, "001.parquet", now - 30)
+    run_deadletter_capture(spark, src, dead, ckpt, strict=True)
+
+    cap = read_dead_letter(spark, dead)
+    cap_keys = {(r["conv_id"], r["turn_idx"]) for r in cap.select("conv_id", "turn_idx").collect()}
+    late_keys = {(r["conv_id"], r["turn_idx"]) for r in late.select("conv_id", "turn_idx").collect()}
+    assert late_keys <= cap_keys          # superset guarantee…
+    assert len(cap_keys) > len(late_keys)  # …and genuinely over-captured here
+
+    wd_a, wd_b = str(tmp_path / "swa"), str(tmp_path / "swb")
+    run_pipeline(spark, wd_a, **args, input_table=on_path)
+    backfill_pipeline(spark, wd_a, cap)
+    run_pipeline(spark, wd_b, **args, input_table=full_path)
+    io_a, io_b = TableIO(spark, wd_a), TableIO(spark, wd_b)
+    for t in ("ingest", "treated", "rollup_1d", "chunks"):
+        keys = {"chunks": ["conv_id", "tier", "metric", "start_ts"],
+                "rollup_1d": ["conv_id", "tier", "bucket_ts"]}.get(t, ["conv_id", "turn_idx"])
+        a = io_a.read(t).toPandas().sort_values(keys).reset_index(drop=True)
+        b = io_b.read(t).toPandas().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False), t
+
+
 def test_strict_capture_bounds_first_drain(spark, transcripts_df, tmp_path):
     """strict=True includes the current batch's max in the bound — the
     guaranteed-superset mode: the very first drain already captures the
