@@ -144,8 +144,16 @@ def write_chunks(
             }
         )
 
-    keyed = rollup.withColumn(
-        "__g", F.pmod(F.xxhash64("conv_id"), F.lit(group_buckets)).cast("int")
+    from pneuma_treatment_spark.session import pin_bucket_parallelism
+
+    # pin the encode stage's task count (AQE would coalesce the few-MB
+    # shuffle to 1-2 tasks and serialize the Python encode — see
+    # session.pin_bucket_parallelism)
+    keyed = pin_bucket_parallelism(
+        rollup.withColumn(
+            "__g", F.pmod(F.xxhash64("conv_id"), F.lit(group_buckets)).cast("int")
+        ),
+        group_buckets,
     )
     return keyed.groupBy("__g").applyInPandas(
         lambda p: enc_bucket(p.drop(columns="__g")), CHUNK_SCHEMA

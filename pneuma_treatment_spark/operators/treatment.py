@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pneuma_treatment_spark import kernels as K
+from pneuma_treatment_spark.session import pin_bucket_parallelism as _pin_bucket_parallelism
 
 
 @dataclass(frozen=True)
@@ -261,8 +262,11 @@ def _apply(df: DataFrame, kernel, added_fields, cfg: TreatmentConfig, halo: int,
     G = cfg.group_buckets
 
     if not chunked:
-        keyed = df.withColumn(
-            "__g", F.pmod(F.xxhash64("conv_id"), F.lit(G)).cast("int")
+        keyed = _pin_bucket_parallelism(
+            df.withColumn(
+                "__g", F.pmod(F.xxhash64("conv_id"), F.lit(G)).cast("int")
+            ),
+            G,
         )
         out_schema = _added(keyed.schema, added_fields)
 
@@ -290,13 +294,14 @@ def _apply(df: DataFrame, kernel, added_fields, cfg: TreatmentConfig, halo: int,
             F.when(pos >= L - H, own + 1),     # serve next chunk's left halo
         )
     )
-    exploded = (
+    exploded = _pin_bucket_parallelism(
         df.withColumn("__chunk", F.explode(chunks))
         .where(F.col("__chunk") >= 0)
         .withColumn(
             "__g",
             F.pmod(F.xxhash64("conv_id", "__chunk"), F.lit(G)).cast("int"),
-        )
+        ),
+        G,
     )
     grouped_schema = _added(exploded.schema, added_fields)
 

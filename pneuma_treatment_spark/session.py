@@ -104,6 +104,33 @@ def _count_plan_nodes(jplan, cap: int) -> int:
 _PROBE_MAX_PLAN_NODES = 8
 
 
+def pin_bucket_parallelism(df, n_buckets: int, key: str = "__g"):
+    """Hash-repartition a bucket-keyed frame to ``min(n_buckets,
+    spark.sql.shuffle.partitions)`` partitions right before a
+    ``groupBy(key).applyInPandas`` stage.
+
+    Why: AQE's partition coalescing sizes reduce partitions by SHUFFLE
+    BYTES, but a pandas-kernel stage's cost is Python compute per row, not
+    bytes — on a mid-size input (a few MB of shuffle) AQE coalesces the
+    stage to 1-2 tasks and the whole kernel runs serially (measured: the
+    treatment kernel 1.96 s on ONE task at 100k rows, the chunk encode
+    2.3 s on two). A user-specified ``repartition(n, key)`` is exempt from
+    AQE coalescing, and its hash partitioning satisfies the groupBy's
+    clustered-distribution requirement, so the stage keeps exactly one
+    exchange (pinned by tests/test_plans.py) while the kernel gets the
+    session's full parallelism. At real scale the byte-sized partitioning
+    already exceeds the core count, so the pin is a no-op in the large
+    (n caps at the session's shuffle partitions — the same ceiling the
+    groupBy exchange had); per-task memory is bounded by bucket content
+    either way."""
+    sess = df.sparkSession
+    try:
+        shuffle_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_parts = sess.sparkContext.defaultParallelism
+    return df.repartition(min(n_buckets, shuffle_parts), key)
+
+
 def fan_out(df, min_partitions: int | None = None, force_probe: bool = False):
     """Round-robin repartition a DataFrame UP to the session's parallelism —
     only when it has fewer partitions than that.
