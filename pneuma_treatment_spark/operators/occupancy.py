@@ -24,6 +24,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _with_prev_next(
+    df: DataFrame,
+    key: str,
+    node_col: str,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """Rows + ``__prev`` (lag of node) + ``next_node`` (next DIFFERENT node
+    value) in ONE window exchange, join-free.
+
+    ``next_node`` is the island-start marker (the node value of rows where
+    the value changes) picked up by a descending-sort RUNNING frame that
+    excludes the current row — the first change strictly after each row.
+    Both frames are incremental (O(n) per partition; the sharp-edge
+    alternative ``currentRow → unboundedFollowing`` re-aggregates per row).
+    Replaces the former islands formulation (running-sum island id →
+    groupBy island → lead → join back), which cost an aggregate plus a
+    row-count join on top of the same exchange."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    prev = F.lag(node_col).over(w)
+    w_desc = (
+        Window.partitionBy(key)
+        .orderBy(*[F.desc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marker = F.when(prev.isNull() | (prev != F.col(node_col)), F.col(node_col))
+    return (
+        df.withColumn("__prev", prev)
+        .withColumn("__m", marker)
+        .withColumn("next_node", F.last("__m", ignorenulls=True).over(w_desc))
+        .drop("__m")
+    )
+
+
 def with_next_node(
     df: DataFrame,
     key: str = "user_id",
@@ -32,19 +65,7 @@ def with_next_node(
 ) -> DataFrame:
     """Add ``next_node``: the next DIFFERENT node value in the key's ordered
     stream (J7 islands — 09lane_node.py:113-145 without the O(T) rescan)."""
-    w = Window.partitionBy(key).orderBy(*order_cols)
-    prev = F.lag(node_col).over(w)
-    chg = F.when(prev.isNull() | (prev != F.col(node_col)), 1).otherwise(0)
-    d = df.withColumn(
-        "__island",
-        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    g = d.groupBy(key, "__island").agg(F.min(node_col).alias("__itype"))
-    nxt = g.withColumn(
-        "next_node",
-        F.lead("__itype").over(Window.partitionBy(key).orderBy("__island")),
-    ).select(key, "__island", "next_node")
-    return d.join(nxt, [key, "__island"]).drop("__island")
+    return _with_prev_next(df, key, node_col, order_cols).drop("__prev")
 
 
 def occupancy_spill(
@@ -73,6 +94,59 @@ def occupancy_spill(
     spill = (
         nn.join(
             F.broadcast(e),
+            (F.col(node_col) == F.col("__src")) & (F.col("next_node") == F.col("__dst")),
+        )
+        .groupBy(F.col("next_node").alias("node"), bucket)
+        .agg(F.sum(weight_col).alias("spill_w"))
+    )
+    out = own.join(spill, ["node", "bucket_ts"], "full_outer")
+    quarters = 3 * F.coalesce(F.col("own_w"), F.lit(0)) + F.coalesce(
+        F.col("spill_w"), F.lit(0)
+    )
+    return out.select(
+        "node",
+        "bucket_ts",
+        quarters.alias("occ_quarters"),
+        (quarters / F.lit(4.0)).alias("occupancy"),
+    )
+
+
+def occupancy_spill_derived(
+    df: DataFrame,
+    key: str = "user_id",
+    node_col: str = "event_type",
+    weight_col: str = "cents",
+    epoch_col: str = "epoch_s",
+    bucket_sec: int = 60,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    min_count: int = 1,
+) -> DataFrame:
+    """:func:`occupancy_spill` with the edge dim derived from observed
+    transitions (≡ ``occupancy_spill(df, transition_edges(df, min_count))``
+    — pinned by tests/test_occupancy.py), fused onto ONE island pass.
+
+    ``transition_edges`` counts the rows where the node value changes;
+    ``__prev`` from the shared single-exchange pass gives exactly those
+    rows, so the edge dim comes from the SAME window pass that computes
+    ``next_node`` — one window exchange over the events instead of two."""
+    bucket = F.timestamp_seconds(
+        F.col(epoch_col) - F.col(epoch_col) % bucket_sec
+    ).alias("bucket_ts")
+    own = (
+        df.groupBy(F.col(node_col).alias("node"), bucket)
+        .agg(F.sum(weight_col).alias("own_w"))
+    )
+    nn = _with_prev_next(df, key, node_col, order_cols)
+    edges = (
+        nn.where(F.col("__prev").isNotNull() & (F.col("__prev") != F.col(node_col)))
+        .groupBy(F.col("__prev").alias("__src"), F.col(node_col).alias("__dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("__src", "__dst")
+    )
+    spill = (
+        nn.join(
+            F.broadcast(edges),
             (F.col(node_col) == F.col("__src")) & (F.col("next_node") == F.col("__dst")),
         )
         .groupBy(F.col("next_node").alias("node"), bucket)

@@ -565,14 +565,13 @@ def occupancy_spill_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     event's weight lands on its own (type, minute) cell, 1/4 spills to the
     user's next-different type when that transition is a 'direct' edge
     (observed ≥ 400 times — the engine's stand-in for the shapefile graph)."""
-    from pneuma_treatment_spark.operators.occupancy import (
-        occupancy_spill,
-        transition_edges,
-    )
+    from pneuma_treatment_spark.operators.occupancy import occupancy_spill_derived
 
     e = _events(spark, sf_dir)
-    edges = transition_edges(e, min_count=400)
-    return occupancy_spill(e, edges)
+    # fused form: ≡ occupancy_spill(e, transition_edges(e, min_count=400))
+    # (equivalence pinned in tests/test_occupancy.py) with the edge dim
+    # derived from the SAME island pass — one events window instead of two
+    return occupancy_spill_derived(e, min_count=400)
 
 
 @query(

