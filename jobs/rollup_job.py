@@ -196,75 +196,106 @@ def run_pipeline(
         # mask reuses this stage's conv-partitioned windows — so the treated
         # stage's conv_has_anomaly flags are a plain scan+aggregate instead
         # of a full-frame window exchange (see treat_transcripts).
-        filled = stage(
-            "filled",
-            lambda io: _restore(
-                gap_fill(
-                    _with_sk(
-                        ingest, "turn_idx", "role", "ts", "token_count", "is_tool_call"
-                    ),
-                    lerp_cols=("token_count",),
-                    lerp_ts_cols=("ts",),
-                ).join(
-                    _with_sk(ingest, "turn_idx", "text", "tool"),
-                    ["conv_id", "turn_idx"],
-                    "left",
-                ).transform(
-                    # only the chunked treatment consumes the flags (the
-                    # non-chunked path computes conv_has_anomaly in-kernel)
-                    lambda d: d.withColumn("raw_anomaly", raw_anomaly_col(cfg))
-                    if chunked
-                    else d
-                )
-            ),
-            deps=["ingest"],
-        )
-        # The kernels never read text/tool/role — shuttling payload or meta
-        # columns through the treatment's ~4 shuffle passes multiplies the
-        # stage's bytes. The treated table is a narrow metric series
-        # (measured: dropping `role` here cuts more shuffle bytes than
-        # dictionary-encoding it — ~20 B/row x 4 passes — BENCH/BASELINE.md
-        # bytes table); text/tool/role live in `filled` and join back
-        # exactly on (conv_id, turn_idx) when needed. `ts` stays for the
-        # p_day write clustering; `is_filled` is load-bearing semantics.
-        narrow = _with_sk(filled, "turn_idx", "ts", "token_count", "is_filled")
-        # conv flags from the materialized filled table: map-side-combined
-        # aggregate over the stored raw_anomaly column — no window, no
-        # full-frame exchange, broadcast into the chunked stage-D join.
-        # A resumed pre-round-5 filled table has no raw_anomaly column:
-        # fall back to flags=None (treat_transcripts' slim pass).
-        flags = (
-            conv_anomaly_flags(_with_sk(filled, "raw_anomaly"))
-            if chunked and "raw_anomaly" in filled.columns
-            else None
-        )
-        stage(
-            "treated",
-            lambda io: _restore(
-                treat_transcripts(narrow, cfg, chunked=chunked, flags=flags)
-            ),
-            deps=["filled"],
-        )
-        m1 = stage(
-            "rollup_1m",
-            lambda io: rollup_raw(ingest, "1m"),
-            deps=["ingest"],
-            ts_col="bucket_ts",
-        )
-        h1 = stage(
-            "rollup_1h",
-            lambda io: rollup_from_tier(m1, "1m", "1h"),
-            deps=["rollup_1m"],
-            ts_col="bucket_ts",
-            bucketed=False,  # coarse tier: day-only partitioning
-        )
-        d1 = stage(
-            "rollup_1d",
-            lambda io: rollup_from_tier(h1, "1h", "1d"),
-            deps=["rollup_1h"],
-            ts_col="bucket_ts",
-            bucketed=False,
-        )
+        def run_treatment_branch():
+            filled = stage(
+                "filled",
+                lambda io: _restore(
+                    gap_fill(
+                        _with_sk(
+                            ingest, "turn_idx", "role", "ts", "token_count", "is_tool_call"
+                        ),
+                        lerp_cols=("token_count",),
+                        lerp_ts_cols=("ts",),
+                    ).join(
+                        _with_sk(ingest, "turn_idx", "text", "tool"),
+                        ["conv_id", "turn_idx"],
+                        "left",
+                    ).transform(
+                        # only the chunked treatment consumes the flags (the
+                        # non-chunked path computes conv_has_anomaly in-kernel)
+                        lambda d: d.withColumn("raw_anomaly", raw_anomaly_col(cfg))
+                        if chunked
+                        else d
+                    )
+                ),
+                deps=["ingest"],
+            )
+            # The kernels never read text/tool/role — shuttling payload or
+            # meta columns through the treatment's ~4 shuffle passes
+            # multiplies the stage's bytes. The treated table is a narrow
+            # metric series (measured: dropping `role` here cuts more
+            # shuffle bytes than dictionary-encoding it — ~20 B/row x 4
+            # passes — BENCH/BASELINE.md bytes table); text/tool/role live
+            # in `filled` and join back exactly on (conv_id, turn_idx) when
+            # needed. `ts` stays for the p_day write clustering; `is_filled`
+            # is load-bearing semantics.
+            narrow = _with_sk(filled, "turn_idx", "ts", "token_count", "is_filled")
+            # conv flags from the materialized filled table: map-side-combined
+            # aggregate over the stored raw_anomaly column — no window, no
+            # full-frame exchange, broadcast into the chunked stage-D join.
+            # A resumed pre-round-5 filled table has no raw_anomaly column:
+            # fall back to flags=None (treat_transcripts' slim pass).
+            flags = (
+                conv_anomaly_flags(_with_sk(filled, "raw_anomaly"))
+                if chunked and "raw_anomaly" in filled.columns
+                else None
+            )
+            stage(
+                "treated",
+                lambda io: _restore(
+                    treat_transcripts(narrow, cfg, chunked=chunked, flags=flags)
+                ),
+                deps=["filled"],
+            )
+
+        def run_rollup_branch():
+            m1 = stage(
+                "rollup_1m",
+                lambda io: rollup_raw(ingest, "1m"),
+                deps=["ingest"],
+                ts_col="bucket_ts",
+            )
+            h1 = stage(
+                "rollup_1h",
+                lambda io: rollup_from_tier(m1, "1m", "1h"),
+                deps=["rollup_1m"],
+                ts_col="bucket_ts",
+                bucketed=False,  # coarse tier: day-only partitioning
+            )
+            d1 = stage(
+                "rollup_1d",
+                lambda io: rollup_from_tier(h1, "1h", "1d"),
+                deps=["rollup_1h"],
+                ts_col="bucket_ts",
+                bucketed=False,
+            )
+            return m1, h1, d1
+
+        # The treatment branch (filled → treated) and the rollup cascade
+        # (1m → 1h → 1d) both depend only on the ingest table — submit them
+        # from two driver threads so the second branch's jobs back-fill
+        # executor capacity the first branch's stage tails leave idle
+        # (guide §2.6 overlap; actions are sequential only because the
+        # driver calls them sequentially). Stage signatures stay
+        # deterministic: each branch reads only _sigs of its own deps.
+        # Sequential fallbacks keep the two instrumented contracts intact:
+        # stop_after must halt BEFORE later stages ever run
+        # (tests/test_resume.py pins the stage set), and a stage_hook
+        # consumer (BENCH/run_bytes.py) attributes per-stage bytes, which
+        # overlapping stages would smear.
+        if stop_after is None and stage_hook is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_treat = pool.submit(run_treatment_branch)
+                f_roll = pool.submit(run_rollup_branch)
+                # surface the FIRST branch failure even if the other also
+                # raised; .result() re-raises inside the caller's context
+                m1, h1, d1 = f_roll.result()
+                f_treat.result()
+        else:
+            run_treatment_branch()
+            m1, h1, d1 = run_rollup_branch()
         # chunk the INT partials only — rates re-derive exactly on read
         # (compression/chunks.points_with_rates); full-entropy rate doubles
         # barely XOR-compress while integer-valued doubles halve

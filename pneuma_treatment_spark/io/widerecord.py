@@ -56,14 +56,16 @@ def parse_wide_meta(
     A record needs only its 4 meta fields here — the reference emits the
     meta row even for a trajectory with zero complete 6-tuples, so the
     fact parser's ≥10-token floor does NOT apply."""
+    # No token-count pre-filter: element_at past the end is null (ANSI off)
+    # and the null checks below drop exactly the same short lines, so the
+    # split runs ONCE per line (a WHERE on size(toks) is pushed below the
+    # projection and re-evaluates the split per line).
     toks = _tokens(value_col, sep)
-    base = lines.where(F.size(toks) >= 4).select(toks.alias("__t"))
-    t = F.col("__t")
-    out = base.select(
-        t[0].alias("id"),
-        t[1].alias("type"),
-        t[2].try_cast("double").alias("dist"),
-        t[3].try_cast("double").alias("avg_speed"),
+    out = lines.select(
+        toks[0].alias("id"),
+        toks[1].alias("type"),
+        toks[2].try_cast("double").alias("dist"),
+        toks[3].try_cast("double").alias("avg_speed"),
     )
     return out.where(F.col("dist").isNotNull() & F.col("avg_speed").isNotNull())
 
@@ -90,6 +92,14 @@ def parse_wide_records(
     base = lines.where(F.size(toks) >= 10).select(
         toks.alias("__t"), _ngroups(toks).alias("__g")
     )
+    # NB (r8): exploding the bare group index next to the token array is the
+    # RIGHT shape — GenerateExec joins generated rows to the child row by
+    # reference (no copy), and the downstream element_at reads the child's
+    # array in place. The tempting alternative (build a per-group struct
+    # array inside a transform() lambda, explode the structs) re-evaluates
+    # the captured split() PER ELEMENT — codegen subexpression elimination
+    # does not reach into higher-order-function lambda bodies — and
+    # measured 8x slower end-to-end.
     ex = base.select(
         "__t", F.explode(F.sequence(F.lit(0), F.col("__g") - 1)).alias("j")
     )
