@@ -269,7 +269,29 @@ def run_pipeline(
                 ts_col="bucket_ts",
                 bucketed=False,
             )
-            return m1, h1, d1
+            # chunk the INT partials only — rates re-derive exactly on read
+            # (compression/chunks.points_with_rates); full-entropy rate
+            # doubles barely XOR-compress while integer-valued doubles
+            # halve. Runs INSIDE this branch: chunks depends only on the
+            # tiers, so it must not wait for the treatment branch.
+            cols = [
+                "conv_id", "tier", "bucket_ts", "turn_count", "token_sum",
+                "tool_calls",
+            ]
+            stage(
+                "chunks",
+                lambda io: write_chunks(
+                    m1.select(cols).unionByName(h1.select(cols)).unionByName(
+                        d1.select(cols)
+                    ),
+                    window_days=windows,
+                ),
+                deps=["rollup_1m", "rollup_1h", "rollup_1d"],
+                # (tier, window-start) dirs — the chunk TTL unit;
+                # write_chunks guarantees no chunk crosses a window, so
+                # retention drops whole partitions (chunk_ttl_sql_predicate)
+                partition_cols=["tier", "p_day"],
+            )
 
         # The treatment branch (filled → treated) and the rollup cascade
         # (1m → 1h → 1d) both depend only on the ingest table — submit them
@@ -291,30 +313,11 @@ def run_pipeline(
                 f_roll = pool.submit(run_rollup_branch)
                 # surface the FIRST branch failure even if the other also
                 # raised; .result() re-raises inside the caller's context
-                m1, h1, d1 = f_roll.result()
+                f_roll.result()
                 f_treat.result()
         else:
             run_treatment_branch()
-            m1, h1, d1 = run_rollup_branch()
-        # chunk the INT partials only — rates re-derive exactly on read
-        # (compression/chunks.points_with_rates); full-entropy rate doubles
-        # barely XOR-compress while integer-valued doubles halve
-        cols = [
-            "conv_id", "tier", "bucket_ts", "turn_count", "token_sum",
-            "tool_calls",
-        ]
-        stage(
-            "chunks",
-            lambda io: write_chunks(
-                m1.select(cols).unionByName(h1.select(cols)).unionByName(d1.select(cols)),
-                window_days=windows,
-            ),
-            deps=["rollup_1m", "rollup_1h", "rollup_1d"],
-            # (tier, window-start) dirs — the chunk TTL unit; write_chunks
-            # guarantees no chunk crosses a window, so retention drops
-            # whole partitions (chunk_ttl_sql_predicate)
-            partition_cols=["tier", "p_day"],
-        )
+            run_rollup_branch()
         if ttl_now:
             for tier, days in DEFAULT_TTLS.items():
                 io.delete_where(f"rollup_{tier}", ttl_sql_predicate(days, ttl_now))

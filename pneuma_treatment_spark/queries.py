@@ -283,26 +283,25 @@ def asof_next_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Next different value' lookup (J7: get_next_node_for_vehicle,
     09lane_node.py:113-145 — O(T) rescan per row there; one island pass here)."""
     e = _load(spark, sf_dir, "events")
+    # join-free islands (r8): next_type = the island-start marker picked up
+    # by a descending running frame excluding the current row — one scan,
+    # one exchange, two incremental window blocks. The former formulation
+    # (running-sum island id → groupBy island → lead → join back) scanned
+    # events twice and paid an aggregate plus a broadcast join for the same
+    # values; operators/occupancy.with_next_node made the same move.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
-    o = e.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "event_type",
-        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0).alias("chg"),
+    marker = F.when(prev.isNull() | (prev != F.col("event_type")), F.col("event_type"))
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    i = o.withColumn(
-        "island",
-        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    g = i.groupBy("user_id", "island").agg(F.min("event_type").alias("island_type"))
-    n = g.withColumn(
-        "next_type",
-        F.lead("island_type").over(Window.partitionBy("user_id").orderBy("island")),
-    )
-    return i.join(n.select("user_id", "island", "next_type"), ["user_id", "island"]).select(
-        "event_id", "next_type"
+    return (
+        e.select("event_id", "user_id", "ts", "event_type")
+        .withColumn("__m", marker)
+        .withColumn("next_type", F.last("__m", ignorenulls=True).over(w_desc))
+        .select("event_id", "next_type")
     )
 
 
