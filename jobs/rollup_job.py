@@ -35,7 +35,7 @@ from pneuma_treatment_spark.operators.gapfill import gap_fill
 from pneuma_treatment_spark.operators.retention import ttl_sql_predicate
 from pneuma_treatment_spark.operators.rollup import (
     rollup_from_tier,
-    rollup_raw,
+    rollup_raw_clustered,
     with_turn_metrics,
 )
 from pneuma_treatment_spark.operators.treatment import (
@@ -251,9 +251,14 @@ def run_pipeline(
         def run_rollup_branch():
             m1 = stage(
                 "rollup_1m",
-                lambda io: rollup_raw(ingest, "1m"),
+                # clustered variant: the aggregation's one exchange doubles
+                # as the (p_day, p_bucket) write clustering — bit-identical
+                # rows to rollup_raw (test_plans pins both the equality and
+                # the single-Exchange plan)
+                lambda io: rollup_raw_clustered(ingest, "1m", n_buckets=n_buckets),
                 deps=["ingest"],
                 ts_col="bucket_ts",
+                pre_clustered=True,
             )
             h1 = stage(
                 "rollup_1h",

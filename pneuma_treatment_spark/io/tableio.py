@@ -62,13 +62,17 @@ class TableIO:
         key_col: str = "conv_id",
         bucketed: bool = True,
         partition_cols: list[str] | None = None,
+        pre_clustered: bool = False,
     ) -> None:
         """``bucketed=False`` partitions by day only — right for coarse
         rollup tiers whose row counts are 1/3600+ of raw (day x bucket dirs
         would be mostly tiny files). ``partition_cols`` overrides the
         default day/bucket layout with columns the caller already
         materialized (e.g. the chunk table's (tier, p_day) — its TTL
-        unit)."""
+        unit). ``pre_clustered=True`` promises the frame is ALREADY
+        hash-clustered by its partition columns (e.g.
+        ``rollup_raw_clustered``, whose aggregation exchange doubles as the
+        write clustering) — the writer then adds no exchange of its own."""
         w = df
         if partitioned:
             if partition_cols is not None:
@@ -131,7 +135,9 @@ class TableIO:
                 self.spark.conf.get("spark.sql.adaptive.enabled", "true").lower()
                 == "true"
             )
-            if partition_cols is None and not bucketed:
+            if pre_clustered:
+                pass  # caller's exchange already clusters by `cols`
+            elif partition_cols is None and not bucketed:
                 try:
                     nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
                 except (TypeError, ValueError):

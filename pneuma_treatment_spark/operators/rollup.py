@@ -93,6 +93,65 @@ def rollup_raw(df: DataFrame, tier: str = "1m") -> DataFrame:
     return _with_rates(out, secs)
 
 
+def rollup_raw_clustered(
+    df: DataFrame, tier: str = "1m", n_buckets: int = 8
+) -> DataFrame:
+    """:func:`rollup_raw` with its single exchange doubling as the
+    day/bucket WRITE clustering (guide §2.4: two operations keyed the same
+    way share one exchange).
+
+    The frame is hash-repartitioned once on (p_day, p_bucket) — the target
+    table layout — and the aggregation groups by a SUPERSET of those keys
+    (p_day/p_bucket are functions of bucket_ts/conv_id, so the groups, and
+    therefore every row, are identical to ``rollup_raw``'s; pinned by
+    ``tests/test_plans.py``). Under the session's
+    ``requireAllClusterKeysForCoPartition=false`` the subset partitioning
+    satisfies the groupBy's clustered distribution, so the plan keeps
+    exactly ONE exchange and ``TableIO.write(..., pre_clustered=True)``
+    adds none — versus rollup_raw's agg exchange plus the writer's
+    rebalance. Skew stays keyed on (day, bucket): one task aggregates one
+    bucket-day of raw turns, the same unit every bucketed table already
+    pins, and ``n_buckets`` remains the scale-out knob. The p_bucket
+    expression must match ``TableIO.with_partition_cols`` exactly —
+    backfill prunes those dirs by recomputing it.
+    """
+    secs = TIERS[tier]
+    b = bucket_ts(F.col("ts"), tier)
+    sess = df.sparkSession
+    try:
+        nparts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = sess.sparkContext.defaultParallelism
+    pre = (
+        df.withColumn("p_day", F.to_date(b))
+        .withColumn(
+            "p_bucket",
+            F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(nparts, "p_day", "p_bucket")
+    )
+    out = (
+        pre.groupBy("p_day", "p_bucket", F.col("conv_id"), b.alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum("token_count").alias("token_sum"),
+            F.sum("is_tool_call").alias("tool_calls"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("user_turns"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+                "assistant_turns"
+            ),
+        )
+        .withColumn("tier", F.lit(tier))
+    )
+    # same column order as rollup_raw, partition cols last (the read-back
+    # schema the downstream cascade and tests already see)
+    rated = _with_rates(out, secs)
+    return rated.select(
+        [c for c in rated.columns if c not in ("p_day", "p_bucket")]
+        + ["p_day", "p_bucket"]
+    )
+
+
 def rollup_from_tier(finer: DataFrame, from_tier: str, to_tier: str) -> DataFrame:
     """Cascade a finer tier into a coarser one by summing partials.
 

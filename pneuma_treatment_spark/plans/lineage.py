@@ -82,6 +82,7 @@ class PipelineRunner:
         key_col: str = "conv_id",
         bucketed: bool = True,
         partition_cols: list[str] | None = None,
+        pre_clustered: bool = False,
     ) -> DataFrame:
         """Run ``build(io) -> DataFrame`` or skip if already complete.
 
@@ -114,6 +115,7 @@ class PipelineRunner:
         self.io.write(
             df, name, partitioned=partitioned, ts_col=ts_col, key_col=key_col,
             bucketed=bucketed, partition_cols=partition_cols,
+            pre_clustered=pre_clustered,
         )
         rows = int(obs.get["rows"])
         out = self.io.read(name)

@@ -304,3 +304,31 @@ def test_treatment_fused_exchange_count(spark, transcripts_df):
         assert "BroadcastExchange" in two or "BroadcastHashJoin" in two
     finally:
         filled.unpersist()
+
+
+def test_rollup_clustered_single_exchange_and_equality(spark):
+    """rollup_raw_clustered: ONE exchange (the (p_day, p_bucket) repartition
+    that doubles as the write clustering — guide §2.4 shared exchange) and
+    rows bit-identical to rollup_raw, with partition cols matching
+    TableIO.with_partition_cols."""
+    from pneuma_treatment_spark.operators.rollup import (
+        rollup_raw,
+        rollup_raw_clustered,
+        with_turn_metrics,
+    )
+    from pneuma_treatment_spark.synth import generate_transcripts
+
+    raw = with_turn_metrics(generate_transcripts(spark, 40, seed=11, mega_turns=500))
+    fused = rollup_raw_clustered(raw, "1m", n_buckets=8)
+    plan = _plan(fused)
+    assert plan.count("+- Exchange") == 1, plan
+
+    cur = rollup_raw(raw, "1m")
+    flat = fused.select(*cur.columns)
+    assert flat.exceptAll(cur).count() == 0
+    assert cur.exceptAll(flat).count() == 0
+    # partition cols must equal what TableIO would derive on the written frame
+    io_cols = TableIO(spark, "/tmp/unused", n_buckets=8).with_partition_cols(
+        cur, "bucket_ts", "conv_id"
+    )
+    assert fused.select(*io_cols.columns).exceptAll(io_cols).count() == 0
